@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Headline benchmark: batched 720p detect + PnP + point-cloud loop on one
+TPU chip (BASELINE.json configs[0]/[2] shape).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+vs_baseline compares against the reference's real-time design target of
+30 fps at 1280x720 on its CPU/camera stack (femto_bolt_code/README.md:11-12,
+better_three_capture.py:45 — the stream rate its per-frame CPU loop must
+keep up with; the repo publishes no other throughput number, BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from repas_tpu.core.config import PipelineConfig
+    from repas_tpu.pipeline import process_frames
+    from __graft_entry__ import _example_frame
+
+    BATCH = 8
+    H, W = 720, 1280
+    rgb, depth, K = _example_frame(H, W)
+    rng = np.random.default_rng(0)
+    rgbs = np.stack([rgb] * BATCH)
+    # add noise so frames aren't byte-identical
+    rgbs = np.clip(rgbs.astype(np.int16)
+                   + rng.integers(-8, 8, rgbs.shape), 0, 255).astype(np.uint8)
+    depths = np.stack([depth] * BATCH)
+
+    cfg = PipelineConfig()
+    run = jax.jit(lambda r, d: process_frames(r, d, K, cfg))
+
+    r = jnp.asarray(rgbs)
+    d = jnp.asarray(depths)
+    out = run(r, d)
+    jax.block_until_ready(out)
+
+    # steady state
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(r, d)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * iters / dt
+    baseline_fps = 30.0
+    print(json.dumps({
+        "metric": "detect_pnp_pointcloud_720p",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

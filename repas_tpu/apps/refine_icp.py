@@ -1,0 +1,105 @@
+"""Standalone ICP / global registration between two geometries — mirrors
+icp_cad_model.py (RANSAC+FPFH global init + point-to-plane refine) and
+the refine stage of mpa_icp_export.py.
+
+  python -m repas_tpu.apps.refine_icp --source cad.stl --target scene.ply \
+      --out registered.ply [--global] [--voxel auto]
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from repas_tpu.apps._common import emit_json, log
+from repas_tpu.cloud.cad import refine_with_icp
+from repas_tpu.cloud.filters import voxel_downsample
+from repas_tpu.cloud.fpfh import (fpfh_features, match_features,
+                                  ransac_registration)
+from repas_tpu.cloud.normals import estimate_normals
+from repas_tpu.core.config import ICPConfig, RansacConfig
+from repas_tpu.io.meta import write_meta
+from repas_tpu.io.ply import PointCloud, TriangleMesh, read_geometry, write_ply
+
+
+def _as_cloud(geom, n=50_000, seed=0) -> np.ndarray:
+    if isinstance(geom, TriangleMesh):
+        return geom.sample_points_uniformly(n, seed=seed).points
+    pts = geom.points
+    if len(pts) > n:
+        pts = pts[np.random.default_rng(seed).choice(len(pts), n,
+                                                     replace=False)]
+    return pts
+
+
+def global_register(src_pts, tgt_pts, cfg: RansacConfig = RansacConfig()):
+    """RANSAC + FPFH global registration (icp_cad_model.py:62-96):
+    voxel = cfg.voxel_frac_of_diag * AABB diagonal; FPFH radius = 5*voxel;
+    distance checker at 2.5*voxel."""
+    both = np.concatenate([src_pts, tgt_pts])
+    diag = float(np.linalg.norm(both.max(0) - both.min(0)))
+    voxel = cfg.voxel_frac_of_diag * diag
+    out = {}
+    clouds = []
+    for pts in (src_pts, tgt_pts):
+        p = jnp.asarray(pts, jnp.float32)
+        m = jnp.ones(len(pts), bool)
+        pd, _, _, md = voxel_downsample(p, m, voxel)
+        nrm, _ = estimate_normals(pd, md, k=24, radius=2.5 * voxel)
+        feat = fpfh_features(pd, nrm, md, radius=cfg.fpfh_radius_mult * voxel)
+        clouds.append((pd, md, feat))
+    (sp, sm, sf), (tp, tm, tf) = clouds
+    corr, _ = match_features(sf, sm, tf, tm)
+    T, fitness = ransac_registration(
+        sp, sm, tp, tm, corr,
+        dist_thresh=cfg.dist_check_mult * voxel,
+        edge_check=cfg.edge_length_check,
+        n_hypotheses=cfg.hypothesis_batch)
+    return np.asarray(T, dtype=np.float64), float(fitness), voxel
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--source", type=Path, required=True)
+    p.add_argument("--target", type=Path, required=True)
+    p.add_argument("--out", type=Path, required=True)
+    p.add_argument("--global", dest="global_init", action="store_true",
+                   help="RANSAC+FPFH global init before ICP")
+    p.add_argument("--max-corr", type=float, default=0.05)
+    p.add_argument("--json", type=Path)
+    args = p.parse_args(argv)
+
+    src_geom = read_geometry(args.source)
+    tgt_geom = read_geometry(args.target)
+    tgt_pts = _as_cloud(tgt_geom)
+
+    T_total = np.eye(4)
+    report = {}
+    if args.global_init:
+        src_pts = _as_cloud(src_geom)
+        T_g, fit, voxel = global_register(src_pts, tgt_pts)
+        T_total = T_g
+        report["global"] = {"fitness": fit, "voxel": voxel,
+                            "T": T_g.tolist()}
+        log.info("global registration fitness %.3f (voxel %.4f)", fit, voxel)
+        src_geom = src_geom.transformed(T_g)
+
+    icp_cfg = ICPConfig(max_corr_dist=args.max_corr)
+    icp_report, T_icp = refine_with_icp(src_geom,
+                                        PointCloud(points=tgt_pts), icp_cfg)
+    T_total = T_icp @ T_total
+    report["icp"] = icp_report
+    report["T_total"] = T_total.tolist()
+    log.info("ICP fitness=%.3f rmse=%.4f", icp_report["fitness"],
+             icp_report["inlier_rmse"])
+
+    out_geom = read_geometry(args.source).transformed(T_total)
+    write_ply(args.out, out_geom)
+    write_meta(args.out.with_suffix(".meta.json"), "cad_transform", **report)
+    emit_json(report, args.json)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Plant-height measurement pipeline (C20,
+process_canopy_detection canopy_return_upgraded.py:430-558).
+
+Steps (reference line cites inline):
+  1. bar detect + image rotation                       (:11-95)
+  2. bar midpoint -> median depth (5 then 11) -> 3D    (:350-399)
+  3. background removal (GrabCut-lite)                 (:97-117)
+  4. strict green mask + morphology                    (:119-131)
+  5. canopy mark: highest plant pixel                  (:133-151)
+  6. inverse-rotate canopy pixel to original coords    (:230-247)
+  7. median depth at canopy -> deproject               (:310-348)
+  8. height = bar_Y - canopy_Y (abs)                   (:401-428)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from repas_tpu.canopy.bar import detect_rotate_bar
+from repas_tpu.canopy.segment import (apply_green_mask, canopy_level_mark,
+                                      green_seed_mask, refine_plant_mask)
+from repas_tpu.core.config import CanopyConfig
+from repas_tpu.kernels.image import invert_affine, transform_points_2d
+from repas_tpu.kernels.pointcloud import median_depth_window
+from repas_tpu.kernels.project import deproject_pixels
+
+
+class CanopyResult(NamedTuple):
+    found: jnp.ndarray           # () bool
+    plant_height_m: jnp.ndarray  # ()
+    canopy_3d: jnp.ndarray       # (3,)
+    bar_3d: jnp.ndarray          # (3,)
+    canopy_px: jnp.ndarray       # (2,) original-image pixel
+    canopy_px_rot: jnp.ndarray   # (2,) rotated-image pixel
+    bar_px: jnp.ndarray          # (2,)
+    rotation_deg: jnp.ndarray    # ()
+    plant_mask: jnp.ndarray      # (H,W) bool (rotated frame)
+
+
+def measure_plant_height(rgb: jnp.ndarray, depth_m: jnp.ndarray, K,
+                         cfg: CanopyConfig = CanopyConfig()) -> CanopyResult:
+    """rgb (H,W,3) uint8, depth_m (H,W) aligned depth in meters, K (3,3)."""
+    K = jnp.asarray(K, jnp.float32)
+
+    # 1. bar + rotation
+    line, M, rotated = detect_rotate_bar(
+        rgb, cfg.canny_low, cfg.canny_high, cfg.hough_threshold,
+        cfg.min_coverage, cfg.max_bar_angle_deg)
+
+    # 2. bar 3D at segment midpoint in ORIGINAL image coords
+    bar_px = (line.p0 + line.p1) / 2.0
+    bu = jnp.round(bar_px[0]).astype(jnp.int32)
+    bv = jnp.round(bar_px[1]).astype(jnp.int32)
+    bz = median_depth_window(depth_m, bu, bv, cfg.depth_win)
+    bz = jnp.where(bz > 0, bz,
+                   median_depth_window(depth_m, bu, bv,
+                                       cfg.depth_fallback_win))
+    bar_3d = deproject_pixels(bar_px, bz, K)
+
+    # 3-4. segmentation on the ROTATED image
+    rot_u8 = jnp.clip(rotated, 0, 255).astype(jnp.uint8)
+    seed = green_seed_mask(rot_u8, cfg.green_seed_lo, cfg.green_seed_hi)
+    fg = refine_plant_mask(rot_u8, seed, iters=cfg.grabcut_iters)
+    plant = apply_green_mask(rot_u8, fg, cfg.green_lo, cfg.green_hi,
+                             cfg.morph_kernel)
+
+    # 5. canopy mark (rotated frame)
+    cy, cx, c_found = canopy_level_mark(plant)
+    canopy_rot = jnp.stack([cx, cy]).astype(jnp.float32)
+
+    # 6. inverse-rotate to original coords
+    Minv = invert_affine(M)
+    canopy_px = transform_points_2d(Minv, canopy_rot)
+
+    # 7. canopy depth + 3D
+    cu = jnp.round(canopy_px[0]).astype(jnp.int32)
+    cv = jnp.round(canopy_px[1]).astype(jnp.int32)
+    cz = median_depth_window(depth_m, cu, cv, cfg.depth_win)
+    cz = jnp.where(cz > 0, cz,
+                   median_depth_window(depth_m, cu, cv,
+                                       cfg.depth_fallback_win))
+    canopy_3d = deproject_pixels(canopy_px, cz, K)
+
+    # 8. height
+    height = jnp.abs(bar_3d[1] - canopy_3d[1])
+    found = line.found & c_found & (bz > 0) & (cz > 0)
+    return CanopyResult(
+        found=found, plant_height_m=height, canopy_3d=canopy_3d,
+        bar_3d=bar_3d, canopy_px=canopy_px, canopy_px_rot=canopy_rot,
+        bar_px=bar_px, rotation_deg=line.angle_deg, plant_mask=plant)

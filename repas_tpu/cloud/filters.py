@@ -1,0 +1,113 @@
+"""Point-cloud filters: radius mask, voxel downsample, statistical outlier
+removal (replacing distance_masking_on_ply.py:1-34,
+pcd.voxel_down_sample / remove_statistical_outlier at
+create_masked_ply.py:163-174).
+
+All operate on fixed-shape (N,3) arrays + validity masks; "removal" means
+clearing mask bits, never reshaping (jit/shard-friendly).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def radius_mask(pts: jnp.ndarray, mask: jnp.ndarray,
+                max_dist: float = 1.0, origin=None) -> jnp.ndarray:
+    """Keep points with ||p - origin|| < max_dist
+    (distance_masking_on_ply.py semantics; origin defaults to camera)."""
+    o = jnp.zeros(3, pts.dtype) if origin is None else jnp.asarray(origin)
+    d2 = jnp.sum((pts - o) ** 2, axis=1)
+    return mask & (d2 < max_dist * max_dist)
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def voxel_downsample(pts: jnp.ndarray, mask: jnp.ndarray, voxel: float,
+                     colors: jnp.ndarray | None = None,
+                     normals: jnp.ndarray | None = None,
+                     dims: tuple = (256, 256, 256)):
+    """Voxel-grid downsample by averaging per cell (Open3D
+    voxel_down_sample semantics).
+
+    Returns (pts (C,3), colors, normals, valid (C,)) with C = number of
+    grid cells... compacted to the input size N (fixed shape): cell means
+    are scattered back into the first occupied-cell slots. Output arrays
+    have shape (N,3) with `valid` marking real cells.
+    """
+    n = pts.shape[0]
+    n_cells = dims[0] * dims[1] * dims[2]
+    lo = jnp.min(jnp.where(mask[:, None], pts, jnp.inf), axis=0)
+    ijk = jnp.floor((pts - lo) / voxel).astype(jnp.int32)
+    ijk = jnp.clip(ijk, 0, jnp.asarray(dims, jnp.int32) - 1)
+    cid = (ijk[:, 0] * dims[1] + ijk[:, 1]) * dims[2] + ijk[:, 2]
+    cid = jnp.where(mask, cid, n_cells)
+
+    cnt = jnp.zeros(n_cells + 1, jnp.float32).at[cid].add(1.0)
+    sums = jnp.zeros((n_cells + 1, 3), jnp.float32).at[cid].add(
+        jnp.where(mask[:, None], pts, 0.0))
+
+    # representative slot per occupied cell: lowest point index in cell
+    first = jnp.full(n_cells + 1, n, jnp.int32).at[cid].min(
+        jnp.arange(n, dtype=jnp.int32))
+
+    # each point that is its cell's representative emits the cell mean
+    is_rep = (first[cid] == jnp.arange(n)) & mask
+    mean = sums[cid] / jnp.maximum(cnt[cid], 1.0)[:, None]
+    out_pts = jnp.where(is_rep[:, None], mean, 0.0)
+
+    out_cols = None
+    if colors is not None:
+        csum = jnp.zeros((n_cells + 1, 3), jnp.float32).at[cid].add(
+            jnp.where(mask[:, None], colors, 0.0))
+        out_cols = jnp.where(is_rep[:, None],
+                             csum[cid] / jnp.maximum(cnt[cid], 1.0)[:, None],
+                             0.0)
+    out_nrm = None
+    if normals is not None:
+        nsum = jnp.zeros((n_cells + 1, 3), jnp.float32).at[cid].add(
+            jnp.where(mask[:, None], normals, 0.0))
+        m = nsum[cid]
+        m = m / jnp.maximum(jnp.linalg.norm(m, axis=1, keepdims=True), 1e-9)
+        out_nrm = jnp.where(is_rep[:, None], m, 0.0)
+
+    return out_pts, out_cols, out_nrm, is_rep
+
+
+def statistical_outlier_mask(pts: jnp.ndarray, mask: jnp.ndarray,
+                             nb_neighbors: int = 20, std_ratio: float = 2.0,
+                             sample: int = 2048, key=None) -> jnp.ndarray:
+    """Statistical outlier removal (Open3D remove_statistical_outlier,
+    create_masked_ply.py:170-174).
+
+    Open3D computes each point's mean distance to its k nearest neighbors
+    and drops points whose mean distance exceeds mean + std_ratio * std.
+    Exact kNN over every pair is O(N^2); here each point's kNN is computed
+    against a fixed random subsample of the cloud (distance distributions
+    are statistically identical for outlier purposes), keeping the op
+    O(N * sample) — a single (N,sample) distance matrix on the MXU.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = pts.shape[0]
+    probs = mask.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
+    idx = jax.random.choice(key, n, shape=(sample,), p=probs)
+    ref = pts[idx]                                    # (S,3)
+    ref_ok = mask[idx]
+
+    d2 = (jnp.sum(pts * pts, axis=1, keepdims=True)
+          - 2.0 * pts @ ref.T
+          + jnp.sum(ref * ref, axis=1)[None, :])      # (N,S)
+    d2 = jnp.where(ref_ok[None, :], jnp.maximum(d2, 0.0), jnp.inf)
+    k = min(nb_neighbors + 1, sample)                 # +1: self may appear
+    neg_top, _ = jax.lax.top_k(-d2, k)
+    dists = jnp.sqrt(jnp.maximum(-neg_top, 0.0))      # (N,k) ascending
+    mean_d = jnp.mean(dists[:, 1:], axis=1)           # drop self/nearest
+    valid_means = jnp.where(mask, mean_d, 0.0)
+    mu = jnp.sum(valid_means) / jnp.maximum(jnp.sum(mask), 1)
+    var = (jnp.sum(jnp.where(mask, (mean_d - mu) ** 2, 0.0))
+           / jnp.maximum(jnp.sum(mask), 1))
+    thresh = mu + std_ratio * jnp.sqrt(var)
+    return mask & (mean_d <= thresh)

@@ -1,0 +1,162 @@
+"""FPFH features + RANSAC global registration (C15, icp_cad_model.py).
+
+Open3D's compute_fpfh_feature + registration_ransac_based_on_feature_matching
+(icp_cad_model.py:44-96) redesigned for TPU:
+
+  * FPFH: per-point SPFH (Darboux-frame angle triplet histograms, 11 bins
+    per angle = 33 dims) over k nearest neighbors, then the standard
+    neighbor-weighted sum. Neighbor search via one (N,S) MXU distance
+    matrix against a subsample.
+  * Feature matching: one (N,M) feature-distance matmul + argmin.
+  * RANSAC: thousands of 3-point hypotheses evaluated as a single vmapped
+    batch (Kabsch solve + edge-length/distance checkers + inlier count) —
+    hypothesis evaluation is exactly the kind of embarrassing parallelism
+    the vector units want. This replaces the sequential 200k-iteration
+    C++ RANSAC loop with a few large batched rounds.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sample", "bins"))
+def fpfh_features(pts: jnp.ndarray, normals: jnp.ndarray,
+                  mask: jnp.ndarray, radius: float,
+                  k: int = 32, sample: int = 2048, bins: int = 11,
+                  key=None) -> jnp.ndarray:
+    """(N,33) FPFH descriptors (zero rows where mask is False)."""
+    if key is None:
+        key = jax.random.PRNGKey(2)
+    n = pts.shape[0]
+    probs = mask.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
+    idx = jax.random.choice(key, n, shape=(sample,), p=probs)
+    ref = pts[idx]
+    ref_n = normals[idx]
+    ref_ok = mask[idx]
+
+    d2 = (jnp.sum(pts * pts, axis=1, keepdims=True)
+          - 2.0 * pts @ ref.T + jnp.sum(ref * ref, axis=1)[None, :])
+    d2 = jnp.where(ref_ok[None, :], jnp.maximum(d2, 0.0), jnp.inf)
+    neg, nn = jax.lax.top_k(-d2, k + 1)
+    nn = nn[:, 1:]                     # drop self
+    nd2 = -neg[:, 1:]
+    within = nd2 <= radius * radius
+
+    p2 = ref[nn]                       # (N,k,3) neighbor positions
+    n2 = ref_n[nn]                     # (N,k,3) neighbor normals
+    p1 = pts[:, None, :]
+    n1 = normals[:, None, :]
+
+    dvec = p2 - p1
+    dist = jnp.linalg.norm(dvec, axis=-1) + 1e-12
+    d_hat = dvec / dist[..., None]
+
+    # Darboux frame (u,v,w) at the source point
+    u = jnp.broadcast_to(n1, d_hat.shape)
+    v = jnp.cross(d_hat, u)
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+    w = jnp.cross(u, v)
+
+    alpha = jnp.sum(v * n2, axis=-1)                       # in [-1,1]
+    phi = jnp.sum(u * d_hat, axis=-1)                      # in [-1,1]
+    theta = jnp.arctan2(jnp.sum(w * n2, axis=-1),
+                        jnp.sum(u * n2, axis=-1))          # [-pi,pi]
+
+    def hist(x, lo, hi):
+        b = jnp.clip(((x - lo) / (hi - lo) * bins).astype(jnp.int32),
+                     0, bins - 1)
+        onehot = jax.nn.one_hot(b, bins, dtype=jnp.float32)
+        return jnp.sum(onehot * within[..., None], axis=1)  # (N,bins)
+
+    spfh = jnp.concatenate([hist(alpha, -1.0, 1.0),
+                            hist(phi, -1.0, 1.0),
+                            hist(theta, -jnp.pi, jnp.pi)], axis=1)  # (N,33)
+    cnt = jnp.maximum(jnp.sum(within, axis=1), 1.0)
+    spfh = spfh / cnt[:, None]
+
+    # FPFH = SPFH(p) + (1/k) sum_j SPFH(j)/dist_j ; neighbors' SPFH taken
+    # from the subsample's own rows
+    spfh_ref = spfh[idx]
+    wgt = jnp.where(within, 1.0 / dist, 0.0)
+    neigh = jnp.einsum("nk,nkf->nf", wgt, spfh_ref[nn]) / cnt[:, None]
+    fpfh = spfh + neigh
+    return jnp.where(mask[:, None], fpfh, 0.0)
+
+
+def match_features(feat_src: jnp.ndarray, src_mask: jnp.ndarray,
+                   feat_tgt: jnp.ndarray, tgt_mask: jnp.ndarray):
+    """Nearest-neighbor feature correspondence src->tgt (argmin over one
+    feature-distance matmul). Returns (idx (N,), dist (N,))."""
+    d2 = (jnp.sum(feat_src ** 2, axis=1, keepdims=True)
+          - 2.0 * feat_src @ feat_tgt.T
+          + jnp.sum(feat_tgt ** 2, axis=1)[None, :])
+    d2 = jnp.where(tgt_mask[None, :], d2, jnp.inf)
+    j = jnp.argmin(d2, axis=1)
+    d = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+    return jnp.where(src_mask, j, -1), jnp.where(src_mask, d, jnp.inf)
+
+
+def _kabsch(P: jnp.ndarray, Q: jnp.ndarray):
+    """Rigid transform aligning P (3,3 pts) onto Q via SVD."""
+    cp = P.mean(axis=0)
+    cq = Q.mean(axis=0)
+    H = (P - cp).T @ (Q - cq)
+    U, _, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    D = jnp.diag(jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d]))
+    R = Vt.T @ D @ U.T
+    t = cq - R @ cp
+    return R, t
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses", "eval_points"))
+def ransac_registration(src: jnp.ndarray, src_mask: jnp.ndarray,
+                        tgt: jnp.ndarray, tgt_mask: jnp.ndarray,
+                        corr: jnp.ndarray,
+                        dist_thresh: float,
+                        edge_check: float = 0.9,
+                        n_hypotheses: int = 8192,
+                        eval_points: int = 2048,
+                        key=None):
+    """Batched 3-point RANSAC over precomputed correspondences.
+
+    corr (N,) maps src index -> tgt index (-1 invalid). Checkers mirror
+    Open3D (icp_cad_model.py:78-90): edge-length similarity >= edge_check,
+    correspondence distance <= dist_thresh. Returns (T (4,4), fitness).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(3)
+    n = src.shape[0]
+    ok = src_mask & (corr >= 0)
+    probs = ok.astype(jnp.float32)
+    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
+    k1, k2 = jax.random.split(key)
+    picks = jax.random.choice(k1, n, shape=(n_hypotheses, 3), p=probs)
+    ev = jax.random.choice(k2, n, shape=(eval_points,), p=probs)
+    ev_src = src[ev]
+    ev_tgt = tgt[jnp.maximum(corr[ev], 0)]
+    ev_ok = ok[ev]
+
+    def hypothesis(pick):
+        P = src[pick]
+        Q = tgt[jnp.maximum(corr[pick], 0)]
+        # edge-length checker
+        eP = jnp.linalg.norm(P - jnp.roll(P, 1, axis=0), axis=1)
+        eQ = jnp.linalg.norm(Q - jnp.roll(Q, 1, axis=0), axis=1)
+        ratio = jnp.minimum(eP, eQ) / jnp.maximum(jnp.maximum(eP, eQ), 1e-12)
+        edges_ok = jnp.all(ratio > edge_check)
+        R, t = _kabsch(P, Q)
+        d = jnp.linalg.norm(ev_src @ R.T + t - ev_tgt, axis=1)
+        inliers = jnp.sum((d <= dist_thresh) & ev_ok)
+        score = jnp.where(edges_ok, inliers, -1)
+        return score, R, t
+
+    scores, Rs, ts = jax.vmap(hypothesis)(picks)
+    best = jnp.argmax(scores)
+    T = jnp.eye(4).at[:3, :3].set(Rs[best]).at[:3, 3].set(ts[best])
+    fitness = scores[best] / jnp.maximum(jnp.sum(ev_ok), 1)
+    return T, fitness

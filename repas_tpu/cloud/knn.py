@@ -1,0 +1,109 @@
+"""Grid-hash nearest neighbors on device (replaces Open3D KDTreeFlann /
+scipy cKDTree, N3/N6).
+
+Fixed-capacity, masked formulation: points are binned into a dense 3-D
+voxel grid over their AABB (one point slot per cell per pass, multiple
+passes fill up to `slots` points per cell via iterated scatter), and
+queries gather the 3x3x3 neighborhood's candidates. All shapes static.
+
+For ICP-scale problems (50k source vs 100-500k target at 5 mm voxels)
+this is a handful of scatter/gather passes — orders of magnitude cheaper
+than per-query tree traversal and a natural fit for TPU vector units.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GridHash(NamedTuple):
+    cell_of: jnp.ndarray     # (slots, n_cells) int32 point index or -1
+    origin: jnp.ndarray      # (3,)
+    cell: jnp.ndarray        # () cell size
+
+
+def _cell_ids(pts, origin, cell, dims):
+    ijk = jnp.floor((pts - origin) / cell).astype(jnp.int32)
+    ijk = jnp.clip(ijk, 0, jnp.asarray(dims, jnp.int32) - 1)
+    nx, ny, nz = dims
+    return (ijk[:, 0] * ny + ijk[:, 1]) * nz + ijk[:, 2]
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "slots"))
+def grid_hash_build(pts: jnp.ndarray, mask: jnp.ndarray, origin, cell,
+                    dims: tuple, slots: int = 4) -> GridHash:
+    """Bin masked points into the grid. Up to `slots` points kept per cell
+    (others dropped — acceptable for downsampled clouds where cell size ~
+    point spacing)."""
+    n_cells = dims[0] * dims[1] * dims[2]
+    cid = _cell_ids(pts, origin, cell, dims)
+    cid = jnp.where(mask, cid, n_cells)          # park invalid in overflow
+    idx = jnp.arange(pts.shape[0], dtype=jnp.int32)
+
+    taken = []
+    used = jnp.zeros_like(cid, dtype=bool)
+    for s in range(slots):
+        buf = jnp.full(n_cells + 1, -1, jnp.int32)
+        # scatter-max picks one untaken point per cell deterministically
+        cand = jnp.where(used, -1, idx)
+        buf = buf.at[cid].max(cand)
+        taken.append(buf[:n_cells])
+        chosen = buf[cid] == idx
+        used = used | chosen
+    return GridHash(cell_of=jnp.stack(taken), origin=jnp.asarray(origin),
+                    cell=jnp.asarray(cell))
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def grid_hash_query(gh: GridHash, target_pts: jnp.ndarray,
+                    query_pts: jnp.ndarray, query_mask: jnp.ndarray,
+                    dims: tuple):
+    """1-NN search: for each query, scan the 27 neighboring cells' slots.
+
+    Returns (nn_idx (Q,) int32 [-1 if none], nn_dist (Q,) f32).
+    """
+    nx, ny, nz = dims
+    n_cells = nx * ny * nz
+    ijk = jnp.floor((query_pts - gh.origin) / gh.cell).astype(jnp.int32)
+
+    best_d = jnp.full(query_pts.shape[0], jnp.inf, jnp.float32)
+    best_i = jnp.full(query_pts.shape[0], -1, jnp.int32)
+    slots = gh.cell_of.shape[0]
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                q = ijk + jnp.asarray([dx, dy, dz], jnp.int32)
+                inb = jnp.all((q >= 0) & (q < jnp.asarray(dims, jnp.int32)),
+                              axis=1)
+                qc = (q[:, 0] * ny + q[:, 1]) * nz + q[:, 2]
+                qc = jnp.where(inb, qc, 0)
+                for s in range(slots):
+                    pi = gh.cell_of[s][qc]
+                    pi = jnp.where(inb & (pi >= 0), pi, -1)
+                    cand = target_pts[jnp.maximum(pi, 0)]
+                    d = jnp.sum((cand - query_pts) ** 2, axis=1)
+                    d = jnp.where(pi >= 0, d, jnp.inf)
+                    better = d < best_d
+                    best_d = jnp.where(better, d, best_d)
+                    best_i = jnp.where(better, pi, best_i)
+    best_d = jnp.where(query_mask, jnp.sqrt(best_d), jnp.inf)
+    best_i = jnp.where(query_mask, best_i, -1)
+    return best_i, best_d
+
+
+def nearest_neighbors(target_pts: jnp.ndarray, target_mask: jnp.ndarray,
+                      query_pts: jnp.ndarray, query_mask: jnp.ndarray,
+                      cell: float, dims: tuple = (64, 64, 64),
+                      slots: int = 4):
+    """Convenience wrapper: build grid over target AABB + query 1-NN.
+
+    `dims` and `slots` are static; `cell` should be ~ the correspondence
+    radius (queries only see +-1 cell).
+    """
+    big = jnp.where(target_mask[:, None], target_pts, jnp.inf)
+    lo = jnp.min(big, axis=0) - cell
+    gh = grid_hash_build(target_pts, target_mask, lo, cell, dims, slots)
+    return grid_hash_query(gh, target_pts, query_pts, query_mask, dims)

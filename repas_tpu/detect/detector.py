@@ -1,0 +1,321 @@
+"""Batched tag36h11 AprilTag detector — TPU-native formulation.
+
+Replaces the pupil-apriltags C detector (N1; ctor params at
+april_tag_detector_solvepnp.py:154-162). The C library's irregular stages
+(union-find segmentation, variable-count quad candidates, per-quad decode)
+are reformulated as fixed-capacity, masked-slot data-parallel passes:
+
+  1. grayscale (+ optional blur/decimate)              [VPU stencils]
+  2. tile adaptive threshold, low-contrast exclusion   [reduce-window]
+  3. connected components on dark pixels               [min-propagation +
+                                                        pointer jumping]
+  4. top-K components by area                          [scatter-add, top_k]
+  5. per-component corner candidates: extremal support
+     points over 16 directions                         [scatter-max]
+  6. quad extraction (farthest-point + max-area)       [vmapped]
+  7. subpixel edge refinement (sample edge normals,
+     weighted line fit, line intersection)             [gather + lstsq]
+  8. homography -> 8x8 grid sampling -> decode_sharpening ->
+     threshold from border/margin references -> 36-bit code vs codebook
+     under 4 rotations, hamming <= max_hamming         [bitwise batch]
+  9. compaction of top-D detections by decision margin
+
+Every stage has static shapes, so the whole detector jits, vmaps over a
+frame batch, and shards over a device mesh (SURVEY.md §5.8).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from repas_tpu.core.config import DetectorConfig
+from repas_tpu.detect import tag_families
+from repas_tpu.kernels.ccl import connected_components, top_k_components
+from repas_tpu.kernels.image import (adaptive_threshold, bilinear_sample,
+                                     gaussian_blur, rgb_to_gray)
+
+_NDIRS = 16
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Detections:
+    """Fixed-capacity detection set (slot i meaningful where valid[i])."""
+
+    ids: jnp.ndarray               # (D,) int32, -1 when invalid
+    corners: jnp.ndarray           # (D,4,2) f32, canonical TL,TR,BR,BL
+    centers: jnp.ndarray           # (D,2) f32
+    decision_margin: jnp.ndarray   # (D,) f32
+    hamming: jnp.ndarray           # (D,) int32
+    areas: jnp.ndarray             # (D,) f32 (component pixel areas)
+    valid: jnp.ndarray             # (D,) bool
+
+
+def _support_points(labels: jnp.ndarray, roots: jnp.ndarray):
+    """Extremal support points of each component along _NDIRS directions.
+
+    labels: (H,W) int32 component labels; roots: (C,) root label per slot.
+    Returns (C, _NDIRS, 2) float32 pixel coords.
+    """
+    h, w = labels.shape
+    n = h * w
+    flat = labels.reshape(-1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
+    thetas = np.pi * 2.0 * np.arange(_NDIRS) / _NDIRS
+    cos = jnp.asarray(np.cos(thetas), jnp.float32)
+    sin = jnp.asarray(np.sin(thetas), jnp.float32)
+
+    def one_dir(c, s):
+        proj = xs * c + ys * s
+        mx = jnp.full(n + 1, -jnp.inf, jnp.float32).at[flat].max(proj)
+        # winner pixels scatter their coordinates
+        is_win = proj >= mx[flat] - 1e-4
+        keys = jnp.where(is_win, flat, n)
+        ux = jnp.zeros(n + 1, jnp.float32).at[keys].max(jnp.where(is_win, xs, -jnp.inf))
+        uy = jnp.zeros(n + 1, jnp.float32).at[keys].max(jnp.where(is_win, ys, -jnp.inf))
+        return ux[roots], uy[roots]
+
+    px, py = jax.vmap(one_dir)(cos, sin)        # (NDIRS, C) each
+    return jnp.stack([px.T, py.T], axis=-1)     # (C, NDIRS, 2)
+
+
+def _quad_from_support(sup: jnp.ndarray) -> jnp.ndarray:
+    """Extract 4 corner candidates from (_NDIRS,2) support points.
+
+    Farthest-point + max-area selection, then CCW-in-image-order sort.
+    Returns (4,2).
+    """
+    cg = jnp.mean(sup, axis=0)
+    d0 = jnp.sum((sup - cg) ** 2, axis=1)
+    p0 = sup[jnp.argmax(d0)]
+    d1 = jnp.sum((sup - p0) ** 2, axis=1)
+    p1 = sup[jnp.argmax(d1)]
+
+    def tri_area(a, b, c):
+        return 0.5 * ((b[..., 0] - a[..., 0]) * (c[..., 1] - a[..., 1])
+                      - (b[..., 1] - a[..., 1]) * (c[..., 0] - a[..., 0]))
+
+    a2 = tri_area(p0[None], p1[None], sup)
+    p2 = sup[jnp.argmax(jnp.abs(a2))]
+    s2 = tri_area(p0, p1, p2)
+    # fourth corner: extreme on the opposite side of the p0-p1 line
+    a3 = jnp.where(jnp.sign(a2) != jnp.sign(s2), jnp.abs(a2), 0.0)
+    p3 = sup[jnp.argmax(a3)]
+
+    quad = jnp.stack([p0, p1, p2, p3])
+    # order by angle about the quad centroid
+    c = jnp.mean(quad, axis=0)
+    ang = jnp.arctan2(quad[:, 1] - c[1], quad[:, 0] - c[0])
+    order = jnp.argsort(ang)
+    return quad[order]
+
+
+def _refine_edges(gray: jnp.ndarray, quad: jnp.ndarray,
+                  n_samples: int = 12, search: float = 2.0,
+                  n_offsets: int = 9) -> jnp.ndarray:
+    """Subpixel edge refinement (the refine_edges=1 equivalent).
+
+    For each quad edge, sample points along it, scan the intensity profile
+    along the edge normal, localize the gradient peak by a weighted
+    centroid, fit a line, and re-intersect adjacent lines.
+    """
+    rolled = jnp.roll(quad, -1, axis=0)
+    ts = jnp.linspace(0.12, 0.88, n_samples)
+    offs = jnp.linspace(-search, search, n_offsets)
+
+    def refine_edge(p, q):
+        d = q - p
+        length = jnp.linalg.norm(d) + 1e-9
+        t_hat = d / length
+        n_hat = jnp.stack([-t_hat[1], t_hat[0]])
+        base = p[None, :] + ts[:, None] * d[None, :]          # (S,2)
+        samp = base[:, None, :] + offs[None, :, None] * n_hat  # (S,O,2)
+        vals = bilinear_sample(gray, samp)                    # (S,O)
+        grad = jnp.abs(vals[:, 2:] - vals[:, :-2])            # (S,O-2)
+        gw = jnp.maximum(grad - jnp.mean(grad, axis=1, keepdims=True), 0.0)
+        o_mid = offs[1:-1]
+        o_star = (jnp.sum(gw * o_mid[None, :], axis=1)
+                  / jnp.maximum(jnp.sum(gw, axis=1), 1e-6))   # (S,)
+        pts = base + o_star[:, None] * n_hat[None, :]
+        # weighted line fit through pts: direction = principal axis
+        wsum = jnp.sum(gw, axis=1) + 1e-6
+        mu = jnp.sum(pts * wsum[:, None], axis=0) / jnp.sum(wsum)
+        dp = (pts - mu) * jnp.sqrt(wsum)[:, None]
+        cov = dp.T @ dp
+        # principal eigenvector of 2x2 cov (closed form)
+        tr = cov[0, 0] + cov[1, 1]
+        det = cov[0, 0] * cov[1, 1] - cov[0, 1] * cov[1, 0]
+        lam = tr / 2 + jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
+        v = jnp.stack([cov[0, 1], lam - cov[0, 0]])
+        v = jnp.where(jnp.linalg.norm(v) < 1e-9,
+                      t_hat, v / (jnp.linalg.norm(v) + 1e-12))
+        return mu, v
+
+    mus, vs = jax.vmap(refine_edge)(quad, rolled)   # lines i: corner i -> i+1
+
+    def intersect(mu1, v1, mu2, v2):
+        # mu1 + a v1 == mu2 + b v2
+        A = jnp.stack([v1, -v2], axis=1)
+        rhs = mu2 - mu1
+        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        a = (rhs[0] * A[1, 1] - rhs[1] * A[0, 1]) / jnp.where(
+            jnp.abs(det) < 1e-9, 1e-9, det)
+        return mu1 + a * v1
+
+    # corner i = intersection of edge (i-1 -> i) and edge (i -> i+1)
+    prev = jnp.roll(jnp.arange(4), 1)
+    corners = jax.vmap(lambda i: intersect(mus[prev[i]], vs[prev[i]],
+                                           mus[i], vs[i]))(jnp.arange(4))
+    # guard: keep original corner if refinement exploded
+    ok = jnp.linalg.norm(corners - quad, axis=1) < 4.0
+    return jnp.where(ok[:, None], corners, quad)
+
+
+def _homography_quad(quad: jnp.ndarray) -> jnp.ndarray:
+    """Homography mapping tag coords (TL=(-1,-1),TR=(1,-1),BR=(1,1),
+    BL=(-1,1)) to pixel coords of the quad's 4 corners (in that order)."""
+    src = jnp.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]],
+                    jnp.float32)
+    x, y = src[:, 0], src[:, 1]
+    u, v = quad[:, 0], quad[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    rows_u = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y], axis=1)
+    rows_v = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y], axis=1)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)
+    b = jnp.concatenate([u, v], axis=0)
+    hvec = jnp.linalg.solve(A, b)
+    return jnp.concatenate([hvec, jnp.ones((1,), hvec.dtype)]).reshape(3, 3)
+
+
+def _apply_h(H: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    p = jnp.concatenate([xy, jnp.ones(xy.shape[:-1] + (1,), xy.dtype)], -1)
+    q = p @ H.T
+    return q[..., :2] / q[..., 2:3]
+
+
+def _sharpen_grid(vals: jnp.ndarray, amount: float) -> jnp.ndarray:
+    """decode_sharpening: v + a * laplacian(v) on the 8x8 sample grid."""
+    p = jnp.pad(vals, 1, mode="edge")
+    lap = (4.0 * vals - p[:-2, 1:-1] - p[2:, 1:-1]
+           - p[1:-1, :-2] - p[1:-1, 2:])
+    return vals + amount * lap
+
+
+def _decode_quad(gray: jnp.ndarray, quad: jnp.ndarray, table: jnp.ndarray,
+                 perms: jnp.ndarray, sharpening: float, max_hamming: int):
+    """Decode one quad. Returns (id, rotation k, hamming, margin, corners)."""
+    H = _homography_quad(quad)
+    cells = tag_families.GRID + 2        # 8 with border
+    # cell centers in tag coords [-1,1]
+    cs = (jnp.arange(cells, dtype=jnp.float32) + 0.5) / cells * 2.0 - 1.0
+    gx, gy = jnp.meshgrid(cs, cs, indexing="xy")
+    pts = jnp.stack([gx, gy], axis=-1)           # (8,8,2), [row, col]
+    vals = bilinear_sample(gray, _apply_h(H, pts))
+    vals = _sharpen_grid(vals, sharpening)
+
+    # white reference: quiet-zone ring just outside the border
+    m = 1.0 + 1.0 / cells
+    ring = jnp.concatenate([
+        jnp.stack([cs, jnp.full_like(cs, -m)], -1),
+        jnp.stack([cs, jnp.full_like(cs, m)], -1),
+        jnp.stack([jnp.full_like(cs, -m), cs], -1),
+        jnp.stack([jnp.full_like(cs, m), cs], -1),
+    ])
+    white_ref = jnp.mean(bilinear_sample(gray, _apply_h(H, ring)))
+    border_mask = jnp.zeros((cells, cells), bool).at[0, :].set(True)
+    border_mask = border_mask.at[-1, :].set(True).at[:, 0].set(True)
+    border_mask = border_mask.at[:, -1].set(True)
+    black_ref = (jnp.sum(jnp.where(border_mask, vals, 0.0))
+                 / jnp.sum(border_mask))
+    thresh = 0.5 * (white_ref + black_ref)
+
+    data = vals[1:-1, 1:-1]                      # (6,6), row-major
+    bits = (data > thresh).reshape(-1)           # (36,)
+    margin = (jnp.sum(jnp.abs(data - thresh)) / data.size)
+    # contrast sanity: border must be darker than quiet zone
+    contrast_ok = (white_ref - black_ref) > 10.0
+    border_frac = (jnp.sum(jnp.where(border_mask, vals < thresh, False))
+                   / jnp.sum(border_mask))
+
+    # try 4 rotations against the codebook
+    rbits = bits[perms]                          # (4,36)
+    dist = jnp.sum(rbits[:, None, :] != table[None, :, :], axis=-1)  # (4,N)
+    flat = jnp.argmin(dist.reshape(-1))
+    k = flat // table.shape[0]
+    tag_id = flat % table.shape[0]
+    ham = dist.reshape(-1)[flat]
+
+    ok = (ham <= max_hamming) & contrast_ok & (border_frac > 0.7)
+
+    # canonical corner order: observed grid = rot90(canonical, k) means the
+    # canonical TL cell appears at observed corner index k going around the
+    # quad; roll corners so slot 0 is the canonical TL.
+    corners = jnp.roll(quad, -k, axis=0)
+    return (jnp.where(ok, tag_id, -1).astype(jnp.int32),
+            k.astype(jnp.int32), ham.astype(jnp.int32),
+            jnp.where(ok, margin, 0.0), corners)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig()
+                ) -> Detections:
+    """Detect tag36h11 tags in one image (uint8 RGB (H,W,3) or gray (H,W)).
+
+    Returns a fixed-capacity `Detections` (config.max_detections slots).
+    """
+    gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
+    if config.quad_sigma > 0:
+        gray = gaussian_blur(gray, config.quad_sigma)
+    h, w = gray.shape
+
+    binary, ambiguous = adaptive_threshold(gray, tile=config.tile,
+                                           min_contrast=config.min_contrast)
+    dark = (~binary) & (~ambiguous)
+    labels = connected_components(dark, iters=config.ccl_iters)
+    roots, areas, valid_c = top_k_components(
+        labels, config.max_components, min_area=config.min_area_px,
+        max_area=config.max_area_frac * h * w, ring_filter=True)
+
+    sup = _support_points(labels, roots)              # (C,16,2)
+    quads = jax.vmap(_quad_from_support)(sup)         # (C,4,2)
+    quads = jax.vmap(lambda q: _refine_edges(gray, q))(quads)
+
+    table = jnp.asarray(tag_families.tag_family_bits())
+    perms = jnp.asarray(tag_families.rotation_perms())
+    ids, ks, hams, margins, corners = jax.vmap(
+        lambda q: _decode_quad(gray, q, table, perms,
+                               config.decode_sharpening,
+                               config.max_hamming))(quads)
+
+    # quad sanity: distinct corners
+    e = jnp.linalg.norm(corners - jnp.roll(corners, 1, axis=1), axis=-1)
+    sane = jnp.min(e, axis=1) > 2.0
+    ok = valid_c & (ids >= 0) & sane & (margins >= config.min_decision_margin)
+
+    # compact: top-D by decision margin
+    D = config.max_detections
+    score = jnp.where(ok, margins, -1.0)
+    top_scores, top_idx = jax.lax.top_k(score, D)
+    sel_valid = top_scores > 0
+
+    return Detections(
+        ids=jnp.where(sel_valid, ids[top_idx], -1),
+        corners=corners[top_idx],
+        centers=jnp.mean(corners[top_idx], axis=1),
+        decision_margin=jnp.where(sel_valid, margins[top_idx], 0.0),
+        hamming=hams[top_idx],
+        areas=areas[top_idx],
+        valid=sel_valid,
+    )
+
+
+def detect_tags_batch(imgs: jnp.ndarray,
+                      config: DetectorConfig = DetectorConfig()) -> Detections:
+    """vmapped detector over a frame batch (N,H,W[,3])."""
+    return jax.vmap(lambda im: detect_tags(im, config))(imgs)

@@ -1,0 +1,262 @@
+"""Error analysis + report writers (C22/C23).
+
+  * load_picked_points — MeshLab/Open3D .pp picked-points XML parser
+    (point_correspondence_error.py:6-32)
+  * correspondence_report — per-landmark Euclidean/Manhattan/per-axis
+    displacement, systematic-bias detection, quality grades, txt + CSV
+    writers (point_correspondence_error.py:60-216,417-489). The txt/CSV
+    column layout is the comparison surface for parity with the
+    checked-in correspondence_errors.{txt,csv}.
+  * point_to_mesh_distances — exact point-to-triangle distances, batched
+    on device (replaces Open3D RaycastingScene signed distance + cKDTree
+    fallbacks, visualize_error.py:8-53)
+  * surface_error_report — percentile stats + histogram/CDF PNG +
+    quality buckets (visualize_error.py:95-193)
+"""
+from __future__ import annotations
+
+import functools
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GRADES = [
+    (5.0, "EXCELLENT"),
+    (10.0, "GOOD"),
+    (20.0, "ACCEPTABLE"),
+    (50.0, "POOR"),
+    (float("inf"), "BAD"),
+]
+
+
+def load_picked_points(path) -> np.ndarray:
+    """Parse a MeshLab .pp picked-points XML file -> (N,3) float array."""
+    root = ET.parse(Path(path)).getroot()
+    pts = []
+    for p in root.iter("point"):
+        pts.append([float(p.get("x")), float(p.get("y")),
+                    float(p.get("z"))])
+    return np.asarray(pts, dtype=np.float64)
+
+
+def _grade(err_mm: float) -> str:
+    for lim, name in GRADES:
+        if err_mm < lim:
+            return name
+    return "BAD"
+
+
+def correspondence_report(ref_pts: np.ndarray, meas_pts: np.ndarray,
+                          labels=None, txt_path=None, csv_path=None,
+                          units_to_mm: float = 1000.0) -> dict:
+    """Per-point displacement analysis between picked landmark pairs."""
+    ref = np.asarray(ref_pts, dtype=np.float64)
+    meas = np.asarray(meas_pts, dtype=np.float64)
+    if ref.shape != meas.shape:
+        raise ValueError(f"shape mismatch {ref.shape} vs {meas.shape}")
+    n = len(ref)
+    labels = labels or [f"point_{i+1}" for i in range(n)]
+    d = (meas - ref) * units_to_mm
+    eucl = np.linalg.norm(d, axis=1)
+    manh = np.sum(np.abs(d), axis=1)
+    mean_axis = d.mean(axis=0)
+    # systematic bias: mean offset magnitude vs spread
+    bias = np.linalg.norm(mean_axis)
+    spread = np.linalg.norm(d - mean_axis, axis=1).mean()
+    systematic = bool(bias > spread)
+
+    rows = []
+    for i in range(n):
+        rows.append({
+            "label": labels[i],
+            "dx_mm": d[i, 0], "dy_mm": d[i, 1], "dz_mm": d[i, 2],
+            "euclidean_mm": eucl[i], "manhattan_mm": manh[i],
+            "grade": _grade(eucl[i]),
+        })
+    report = {
+        "points": rows,
+        "mean_euclidean_mm": float(eucl.mean()),
+        "rmse_mm": float(np.sqrt((eucl ** 2).mean())),
+        "max_euclidean_mm": float(eucl.max()),
+        "mean_axis_offset_mm": mean_axis.tolist(),
+        "systematic_bias": systematic,
+        "overall_grade": _grade(float(eucl.mean())),
+    }
+
+    if txt_path:
+        lines = ["=" * 64, "POINT CORRESPONDENCE ERROR ANALYSIS", "=" * 64,
+                 f"pairs: {n}", ""]
+        for r in rows:
+            lines.append(
+                f"{r['label']:>12}: dx={r['dx_mm']:+8.2f}  dy={r['dy_mm']:+8.2f}"
+                f"  dz={r['dz_mm']:+8.2f}  |e|={r['euclidean_mm']:8.2f} mm"
+                f"  [{r['grade']}]")
+        lines += ["",
+                  f"mean euclidean: {report['mean_euclidean_mm']:.3f} mm",
+                  f"rmse:           {report['rmse_mm']:.3f} mm",
+                  f"max:            {report['max_euclidean_mm']:.3f} mm",
+                  f"axis bias (mm): {mean_axis.round(3).tolist()}",
+                  f"systematic bias: {'YES' if systematic else 'no'}",
+                  f"overall: {report['overall_grade']}", "=" * 64]
+        Path(txt_path).parent.mkdir(parents=True, exist_ok=True)
+        Path(txt_path).write_text("\n".join(lines) + "\n")
+
+    if csv_path:
+        hdr = "label,dx_mm,dy_mm,dz_mm,euclidean_mm,manhattan_mm,grade"
+        body = [f"{r['label']},{r['dx_mm']:.4f},{r['dy_mm']:.4f},"
+                f"{r['dz_mm']:.4f},{r['euclidean_mm']:.4f},"
+                f"{r['manhattan_mm']:.4f},{r['grade']}" for r in rows]
+        Path(csv_path).parent.mkdir(parents=True, exist_ok=True)
+        Path(csv_path).write_text("\n".join([hdr] + body) + "\n")
+
+    return report
+
+
+# ---------------------------------------------------------------------------
+# point-to-surface distances
+# ---------------------------------------------------------------------------
+
+def _point_tri_dist2(p, a, b, c):
+    """Exact squared distance from point p to triangle abc (device)."""
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = jnp.dot(ab, ap)
+    d2 = jnp.dot(ac, ap)
+    bp = p - b
+    d3 = jnp.dot(ab, bp)
+    d4 = jnp.dot(ac, bp)
+    cp = p - c
+    d5 = jnp.dot(ab, cp)
+    d6 = jnp.dot(ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = va + vb + vc
+    v = vb / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+    w = vc / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+
+    # interior projection
+    proj = a + v * ab + w * ac
+
+    def seg(p, s, e):
+        d = e - s
+        t = jnp.clip(jnp.dot(p - s, d) / jnp.maximum(jnp.dot(d, d), 1e-30),
+                     0.0, 1.0)
+        q = s + t * d
+        return jnp.sum((p - q) ** 2)
+
+    inside = (v >= 0) & (w >= 0) & (v + w <= 1)
+    d_in = jnp.sum((p - proj) ** 2)
+    d_edges = jnp.minimum(jnp.minimum(seg(p, a, b), seg(p, b, c)),
+                          seg(p, a, c))
+    return jnp.where(inside, d_in, d_edges)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def point_to_mesh_distances(pts: jnp.ndarray, verts: jnp.ndarray,
+                            tris: jnp.ndarray, chunk: int = 256):
+    """Exact unsigned point-to-mesh distances, chunked over triangles.
+
+    (N,) float32. For the reference workloads (150k points vs CAD meshes,
+    alignment_errors.txt) this is a dense N x F sweep that vectorizes
+    cleanly; no BVH needed on TPU.
+    """
+    a = verts[tris[:, 0]]
+    b = verts[tris[:, 1]]
+    c = verts[tris[:, 2]]
+    nf = a.shape[0]
+    n_chunks = (nf + chunk - 1) // chunk
+    pad = n_chunks * chunk - nf
+    big = 1e30
+    a = jnp.concatenate([a, jnp.full((pad, 3), big, a.dtype)])
+    b = jnp.concatenate([b, jnp.full((pad, 3), big, b.dtype)])
+    c = jnp.concatenate([c, jnp.full((pad, 3), big, c.dtype)])
+
+    dist_fn = jax.vmap(jax.vmap(_point_tri_dist2, (None, 0, 0, 0)),
+                       (0, None, None, None))
+
+    def body(i, best):
+        sl = jax.lax.dynamic_slice_in_dim
+        aa = sl(a, i * chunk, chunk)
+        bb = sl(b, i * chunk, chunk)
+        cc = sl(c, i * chunk, chunk)
+        d = jnp.min(dist_fn(pts, aa, bb, cc), axis=1)
+        return jnp.minimum(best, d)
+
+    best = jax.lax.fori_loop(0, n_chunks, body,
+                             jnp.full(pts.shape[0], jnp.inf, jnp.float32))
+    return jnp.sqrt(best)
+
+
+def surface_error_report(dist_m: np.ndarray, txt_path=None, png_path=None,
+                         units_to_mm: float = 1000.0) -> dict:
+    """Percentile stats + quality buckets + optional histogram/CDF PNG
+    (visualize_error.py:95-193)."""
+    d = np.asarray(dist_m, dtype=np.float64) * units_to_mm
+    pct = {p: float(np.percentile(d, p)) for p in (5, 25, 50, 75, 90, 95, 99)}
+    buckets = {
+        "under_5mm": float((d < 5).mean()),
+        "5_10mm": float(((d >= 5) & (d < 10)).mean()),
+        "10_20mm": float(((d >= 10) & (d < 20)).mean()),
+        "over_20mm": float((d >= 20).mean()),
+    }
+    report = {
+        "count": int(d.size),
+        "mean_mm": float(d.mean()),
+        "median_mm": float(np.median(d)),
+        "rmse_mm": float(np.sqrt((d ** 2).mean())),
+        "std_mm": float(d.std()),
+        "min_mm": float(d.min()),
+        "max_mm": float(d.max()),
+        "percentiles_mm": pct,
+        "quality_distribution": buckets,
+    }
+    if txt_path:
+        lines = ["=" * 64, "POINT-TO-SURFACE ALIGNMENT ERROR", "=" * 64,
+                 f"points analyzed: {report['count']}",
+                 f"mean:   {report['mean_mm']:.3f} mm",
+                 f"median: {report['median_mm']:.3f} mm",
+                 f"rmse:   {report['rmse_mm']:.3f} mm",
+                 f"std:    {report['std_mm']:.3f} mm",
+                 f"min/max: {report['min_mm']:.3f} / {report['max_mm']:.3f} mm",
+                 ""]
+        for p, v in pct.items():
+            lines.append(f"  p{p:02d}: {v:.3f} mm")
+        lines.append("")
+        for k, v in buckets.items():
+            lines.append(f"  {k}: {100*v:.1f}%")
+        lines.append("=" * 64)
+        Path(txt_path).parent.mkdir(parents=True, exist_ok=True)
+        Path(txt_path).write_text("\n".join(lines) + "\n")
+    if png_path:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+        ax1.hist(d, bins=60, color="#4878cf")
+        ax1.set_xlabel("error (mm)")
+        ax1.set_ylabel("count")
+        ax1.set_title("error histogram")
+        xs = np.sort(d)
+        ax2.plot(xs, np.linspace(0, 1, len(xs)), color="#d65f5f")
+        ax2.set_xlabel("error (mm)")
+        ax2.set_ylabel("CDF")
+        ax2.set_title("cumulative distribution")
+        fig.tight_layout()
+        Path(png_path).parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(png_path, dpi=110)
+        plt.close(fig)
+    return report
+
+
+def error_colormap(dist_m: np.ndarray, max_mm: float = 30.0) -> np.ndarray:
+    """Green -> red colormap on distances (visualize_error.py:55-93).
+    Returns (N,3) float colors in [0,1]."""
+    t = np.clip(np.asarray(dist_m) * 1000.0 / max_mm, 0.0, 1.0)
+    return np.stack([t, 1.0 - t, np.zeros_like(t)], axis=1)

@@ -16,6 +16,12 @@ import numpy as np
 
 def read_image(path) -> np.ndarray:
     """Read an image as uint8 RGB (H,W,3) or uint16 gray (H,W)."""
+    from repas_tpu.io import native
+
+    arr = native.read_png(path) if str(path).endswith(".png") else None
+    if arr is not None:
+        return arr
+
     from PIL import Image
 
     im = Image.open(Path(path))

@@ -1,0 +1,340 @@
+"""JAX-native PnP solvers: IPPE-square, SQPnP-style, Gauss-Newton refine.
+
+Replaces the cv2.solvePnP call sites:
+  * SOLVEPNP_IPPE_SQUARE   (final_view.py:206-209, solve_pnp_best_order
+                            final_view_with_cad.py:177-231)
+  * SOLVEPNP_SQPNP         (mpe_final_view_tag_bundle_with_cad.py:278-284)
+  * SOLVEPNP_ITERATIVE     (realtime_pose_estimation_april_tag.py:73-76)
+
+Everything is pure JAX (jit/vmap-safe, fixed shapes). The 8-corner-order
+search (the reference's signature C3 algorithm) runs as one vmapped batch
+with an argmin instead of a Python retry loop.
+
+IPPE derivation (implemented from scratch, following the geometry of
+Collins & Bartoli's "Infinitesimal Plane-based Pose Estimation"):
+With object plane z=0, normalized-coords homography H, the projection of
+the plane origin is v = (H13,H23)/H33 and the map's Jacobian at the origin
+is J = (1/t_z) P R[:,:2] with P = [[1,0,-v1],[0,1,-v2]]. Writing
+R = R_v Q with R_v e3 = [v;1]/s, P annihilates R_v e3, so
+B^{-1} J = (1/t_z) Q[:2,:2] with B = P R_v[:,:2]. For any rotation the
+upper 2x2 block has singular values (1, |q33|), giving t_z = 1/sigma1 and
+two completions of Q (the planar pose ambiguity) via a signed 2x2 SVD.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from repas_tpu.core.transforms import rodrigues, rodrigues_inv
+from repas_tpu.kernels.project import (project_points, undistort_points)
+
+_EPS = 1e-12
+
+
+def square_object_points(tag_size_m, dtype=jnp.float32) -> jnp.ndarray:
+    """Canonical TL,TR,BR,BL square corners in the tag plane (z=0).
+
+    Matches the object points in solve_pnp_best_order
+    (final_view_with_cad.py:191-194): TL=(-h,-h), TR=(h,-h), BR=(h,h),
+    BL=(-h,h).
+    """
+    h = jnp.asarray(tag_size_m, dtype) / 2.0
+    return jnp.stack([
+        jnp.stack([-h, -h, jnp.zeros_like(h)]),
+        jnp.stack([h, -h, jnp.zeros_like(h)]),
+        jnp.stack([h, h, jnp.zeros_like(h)]),
+        jnp.stack([-h, h, jnp.zeros_like(h)]),
+    ])
+
+
+# The 8 cyclic + reflected corner orderings of C3
+# (final_view_with_cad.py:195-204), as permutations of [TL,TR,BR,BL]
+SQUARE_ORDERS = jnp.array([
+    [0, 1, 2, 3],
+    [1, 2, 3, 0],
+    [2, 3, 0, 1],
+    [3, 0, 1, 2],
+    [1, 0, 3, 2],
+    [0, 3, 2, 1],
+    [3, 2, 1, 0],
+    [2, 1, 0, 3],
+], dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# homography (unit square -> normalized image coords)
+# ---------------------------------------------------------------------------
+
+def _homography_4pt(obj_xy: jnp.ndarray, img_xy: jnp.ndarray) -> jnp.ndarray:
+    """Exact homography from 4 correspondences, H33 = 1 (8x8 solve)."""
+    x, y = obj_xy[:, 0], obj_xy[:, 1]
+    u, w = img_xy[:, 0], img_xy[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    rows_u = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y], axis=1)
+    rows_v = jnp.stack([zero, zero, zero, x, y, one, -w * x, -w * y], axis=1)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)       # (8,8)
+    b = jnp.concatenate([u, w], axis=0)                 # (8,)
+    h = jnp.linalg.solve(A, b)
+    return jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
+
+
+def _svd2x2_signed(A: jnp.ndarray):
+    """Proper 2x2 SVD A = U diag(s1, s2) V^T with U,V rotations;
+    s1 >= |s2|, sign(s2) = sign(det A)."""
+    # closed form via rotation angles
+    E = (A[0, 0] + A[1, 1]) / 2.0
+    F = (A[0, 0] - A[1, 1]) / 2.0
+    G = (A[1, 0] + A[0, 1]) / 2.0
+    H = (A[1, 0] - A[0, 1]) / 2.0
+    Q = jnp.sqrt(E * E + H * H)
+    Rm = jnp.sqrt(F * F + G * G)
+    s1 = Q + Rm
+    s2 = Q - Rm          # signed: negative iff det(A) < 0
+    a1 = jnp.arctan2(G, F)    # = phi + theta
+    a2 = jnp.arctan2(H, E)    # = phi - theta
+    theta = (a1 - a2) / 2.0   # V angle
+    phi = (a1 + a2) / 2.0     # U angle
+    cU, sU = jnp.cos(phi), jnp.sin(phi)
+    cV, sV = jnp.cos(theta), jnp.sin(theta)
+    U = jnp.stack([jnp.stack([cU, -sU]), jnp.stack([sU, cU])])
+    V = jnp.stack([jnp.stack([cV, -sV]), jnp.stack([sV, cV])])
+    return U, jnp.stack([s1, s2]), V
+
+
+def _rotation_e3_to(t_hat: jnp.ndarray) -> jnp.ndarray:
+    """Rotation taking e3 to unit vector t_hat (safe near e3)."""
+    c = t_hat[2]
+    axis = jnp.stack([-t_hat[1], t_hat[0], jnp.zeros_like(c)])
+    s = jnp.linalg.norm(axis)
+    k = axis / jnp.maximum(s, _EPS)
+    K = jnp.stack([
+        jnp.stack([jnp.zeros_like(c), -k[2], k[1]]),
+        jnp.stack([k[2], jnp.zeros_like(c), -k[0]]),
+        jnp.stack([-k[1], k[0], jnp.zeros_like(c)]),
+    ])
+    I = jnp.eye(3, dtype=t_hat.dtype)
+    # K is skew of the UNIT axis; s = sin(angle), c = cos(angle)
+    R = I + s * K + (1.0 - c) * (K @ K)
+    return jnp.where(s < 1e-8, I, R)
+
+
+def _ippe_from_homography(Hn: jnp.ndarray):
+    """Both IPPE pose solutions from a normalized-coords homography of the
+    UNIT half-size square. Returns (R (2,3,3), t (2,3))."""
+    v = jnp.stack([Hn[0, 2], Hn[1, 2]]) / Hn[2, 2]
+    J = (Hn[:2, :2] - v[:, None] * Hn[2, :2][None, :]) / Hn[2, 2]
+    s = jnp.sqrt(1.0 + v @ v)
+    t_hat = jnp.concatenate([v, jnp.ones((1,), v.dtype)]) / s
+    Rv = _rotation_e3_to(t_hat)
+    B = Rv[:2, :2] - v[:, None] * Rv[2, :2][None, :]
+    A = jnp.linalg.solve(B, J)
+    U, sig, V = _svd2x2_signed(A)
+    tz = 1.0 / jnp.maximum(sig[0], _EPS)
+    cb = jnp.clip(sig[1] * tz, -1.0, 1.0)     # q33 = cos(beta)
+    sb = jnp.sqrt(jnp.maximum(1.0 - cb * cb, 0.0))
+
+    def build(sgn):
+        zero = jnp.zeros_like(cb)
+        one = jnp.ones_like(cb)
+        Rx = jnp.stack([
+            jnp.stack([one, zero, zero]),
+            jnp.stack([zero, cb, -sgn * sb]),
+            jnp.stack([zero, sgn * sb, cb]),
+        ])
+        Uf = jnp.eye(3, dtype=A.dtype).at[:2, :2].set(U)
+        Vf = jnp.eye(3, dtype=A.dtype).at[:2, :2].set(V)
+        Q = Uf @ Rx @ Vf.T
+        R = Rv @ Q
+        t = tz * jnp.concatenate([v, jnp.ones((1,), v.dtype)])
+        return R, t
+
+    R1, t1 = build(jnp.asarray(1.0, A.dtype))
+    R2, t2 = build(jnp.asarray(-1.0, A.dtype))
+    return jnp.stack([R1, R2]), jnp.stack([t1, t2])
+
+
+def solve_pnp_ippe_square(img_corners: jnp.ndarray, K, dist, tag_size_m,
+                          refine_iters: int = 10):
+    """IPPE_SQUARE: 4 pixel corners (TL,TR,BR,BL object order) -> pose.
+
+    Returns (R (3,3), t (3,), reproj_err_px). Both analytic solutions are
+    GN-refined and the lower-reprojection-error one wins (matching OpenCV's
+    solution ordering).
+    """
+    K = jnp.asarray(K, img_corners.dtype)
+    obj = square_object_points(tag_size_m, img_corners.dtype)
+    norm_xy = undistort_points(img_corners, K, jnp.asarray(dist, K.dtype))
+    unit_obj = obj[:, :2] / (jnp.asarray(tag_size_m, K.dtype) / 2.0)
+    Hn = _homography_4pt(unit_obj, norm_xy)
+    Rs, ts = _ippe_from_homography(Hn)
+    ts = ts * (jnp.asarray(tag_size_m, K.dtype) / 2.0)
+
+    def polish(R, t):
+        rvec = rodrigues_inv(R)
+        rvec, t, err = refine_pnp_gn(obj, img_corners, rvec, t, K, dist,
+                                     iters=refine_iters)
+        return rodrigues(rvec), t, err
+
+    (Ra, ta, ea) = polish(Rs[0], ts[0])
+    (Rb, tb, eb) = polish(Rs[1], ts[1])
+    # penalize solutions behind the camera
+    sa = ea + jnp.where(ta[2] <= 0, 1e6, 0.0)
+    sb = eb + jnp.where(tb[2] <= 0, 1e6, 0.0)
+    pick_a = sa <= sb
+    R = jnp.where(pick_a, Ra, Rb)
+    t = jnp.where(pick_a, ta, tb)
+    err = jnp.where(pick_a, ea, eb)
+    return R, t, err
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton refinement (the ITERATIVE solver's core)
+# ---------------------------------------------------------------------------
+
+def _residuals(params, obj, img, K, dist, w):
+    rvec, t = params[:3], params[3:]
+    proj = project_points(obj, rvec, t, K, dist)
+    return ((proj - img) * w[:, None]).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def refine_pnp_gn(obj_pts, img_pts, rvec0, tvec0, K, dist=None,
+                  iters: int = 10, damping: float = 1e-6, weights=None):
+    """Levenberg-damped Gauss-Newton on reprojection error over (rvec,t).
+
+    `weights` (N,) scales per-point residuals (0 masks a point out).
+    Returns (rvec, tvec, mean_reproj_err_px over weighted points).
+    """
+    K = jnp.asarray(K, img_pts.dtype)
+    dist = (jnp.zeros(8, K.dtype) if dist is None
+            else jnp.asarray(dist, K.dtype))
+    w = (jnp.ones(obj_pts.shape[0], K.dtype) if weights is None
+         else jnp.asarray(weights, K.dtype))
+    p0 = jnp.concatenate([jnp.asarray(rvec0, K.dtype).reshape(3),
+                          jnp.asarray(tvec0, K.dtype).reshape(3)])
+
+    res_fn = lambda p: _residuals(p, obj_pts, img_pts, K, dist, w)
+    jac_fn = jax.jacfwd(res_fn)
+
+    def body(_, p):
+        r = res_fn(p)
+        Jm = jac_fn(p)
+        JTJ = Jm.T @ Jm
+        JTr = Jm.T @ r
+        lam = damping * jnp.trace(JTJ) / 6.0
+        step = jnp.linalg.solve(JTJ + lam * jnp.eye(6, dtype=p.dtype), JTr)
+        p_new = p - step
+        # accept only if error decreases (cheap trust region)
+        better = jnp.sum(res_fn(p_new) ** 2) < jnp.sum(r ** 2)
+        return jnp.where(better, p_new, p)
+
+    p = jax.lax.fori_loop(0, iters, body, p0)
+    proj = project_points(obj_pts, p[:3], p[3:], K, dist)
+    per_pt = jnp.linalg.norm(proj - img_pts, axis=-1)
+    err = jnp.sum(per_pt * (w > 0)) / jnp.maximum(jnp.sum(w > 0), 1)
+    return p[:3], p[3:], err
+
+
+# ---------------------------------------------------------------------------
+# SQPnP-style general solver
+# ---------------------------------------------------------------------------
+
+def _nearest_rotation(M: jnp.ndarray) -> jnp.ndarray:
+    """Project a 3x3 matrix to SO(3) via SVD (det-corrected, robust to
+    rank-deficient inputs)."""
+    U, _, Vt = jnp.linalg.svd(M)
+    d = jnp.sign(jnp.linalg.det(U @ Vt))
+    D = jnp.diag(jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d]))
+    return U @ D @ Vt
+
+
+def solve_pnp_sqpnp(obj_pts: jnp.ndarray, img_pts: jnp.ndarray, K, dist=None,
+                    refine_iters: int = 15, weights=None):
+    """General PnP via the quadratic-program formulation + GN polish.
+
+    Minimizes sum_i ||(I - u_i u_i^T)(R p_i + t)||^2 (u_i = bearing rays):
+    eliminating t gives x^T Omega x over x = vec(R); the three smallest
+    eigenvectors of Omega, projected to SO(3) with both signs, seed a GN
+    refinement on true reprojection error. Replaces SOLVEPNP_SQPNP
+    (mpe_final_view_tag_bundle_with_cad.py:278-284).
+
+    Returns (R, t, mean_reproj_err_px).
+    """
+    K = jnp.asarray(K, img_pts.dtype)
+    dist = (jnp.zeros(8, K.dtype) if dist is None
+            else jnp.asarray(dist, K.dtype))
+    n = obj_pts.shape[0]
+    wts = (jnp.ones(n, K.dtype) if weights is None
+           else jnp.asarray(weights, K.dtype))
+    xy = undistort_points(img_pts, K, dist)
+    u = jnp.concatenate([xy, jnp.ones((n, 1), xy.dtype)], axis=1)
+    u = u / jnp.linalg.norm(u, axis=1, keepdims=True)
+    W = jnp.eye(3, dtype=xy.dtype)[None] - u[:, :, None] * u[:, None, :]
+    W = W * wts[:, None, None]
+
+    # A_i x = R p_i with x = vec(R) (row-major): A_i = kron(I3, p_i^T)
+    I3 = jnp.eye(3, dtype=xy.dtype)
+    A = jnp.einsum("ab,nc->nabc", I3, obj_pts).reshape(n, 3, 9)
+
+    SW = jnp.sum(W, axis=0)                     # (3,3)
+    SWA = jnp.einsum("nij,njk->ik", W, A)       # (3,9)
+    # t*(x) = -SW^{-1} SWA x
+    T = -jnp.linalg.solve(SW + _EPS * I3, SWA)  # (3,9)
+    M = A + T[None]                             # (n,3,9): A_i + dt/dx
+    Omega = jnp.einsum("nia,nij,njb->ab", M, W, M)  # (9,9)
+
+    evals, evecs = jnp.linalg.eigh(Omega)
+    # candidates: 3 smallest eigenvectors, both signs
+    cands = []
+    for i in range(3):
+        for sgn in (1.0, -1.0):
+            cands.append(sgn * evecs[:, i])
+    cand_R = jnp.stack([_nearest_rotation(c.reshape(3, 3)) for c in cands])
+
+    def score_and_refine(R):
+        x = R.reshape(9)
+        t = T @ x
+        rvec, t2, err = refine_pnp_gn(obj_pts, img_pts, rodrigues_inv(R), t,
+                                      K, dist, iters=refine_iters,
+                                      weights=wts)
+        # cheirality: all weighted points in front
+        cam_z = (obj_pts @ rodrigues(rvec).T + t2)[:, 2]
+        penalty = jnp.where(jnp.all((cam_z > 0) | (wts <= 0)), 0.0, 1e6)
+        return rvec, t2, err, err + penalty
+
+    rvecs, ts, errs, scores = jax.vmap(score_and_refine)(cand_R)
+    best = jnp.argmin(scores)
+    return rodrigues(rvecs[best]), ts[best], errs[best]
+
+
+# ---------------------------------------------------------------------------
+# C3: best-corner-order search
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("refine_iters",))
+def solve_pnp_best_order(img_corners: jnp.ndarray, K, dist, tag_size_m,
+                         z_penalty: float = 1000.0, refine_iters: int = 10):
+    """Try all 8 cyclic/reflected object-corner orderings with IPPE-square;
+    score = mean reprojection error + z_penalty * (z <= 0); keep the best.
+
+    Vectorized re-implementation of solve_pnp_best_order
+    (final_view_with_cad.py:177-231). Returns (R, t, err_px, order_idx).
+    """
+    img_corners = jnp.asarray(img_corners)
+    obj = square_object_points(tag_size_m, img_corners.dtype)
+
+    def solve_for_order(order):
+        # reorder object points: obj[order] pairs with img_corners as-is.
+        # equivalently un-permute the image corners against canonical obj.
+        inv = jnp.zeros(4, jnp.int32).at[order].set(jnp.arange(4, dtype=jnp.int32))
+        R, t, err = solve_pnp_ippe_square(img_corners[inv], K, dist,
+                                          tag_size_m, refine_iters=refine_iters)
+        return R, t, err
+
+    Rs, ts, errs = jax.vmap(solve_for_order)(SQUARE_ORDERS)
+    scores = errs + jnp.where(ts[:, 2] <= 0, z_penalty, 0.0)
+    best = jnp.argmin(scores)
+    return Rs[best], ts[best], errs[best], best

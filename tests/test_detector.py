@@ -1,0 +1,106 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from repas_tpu.core.config import DetectorConfig
+from repas_tpu.detect import detect_tags, detect_tags_batch, render_tag
+from repas_tpu.detect.render import render_tag_in_scene, tag_corner_px
+from repas_tpu.detect.tag_families import (TAG36H11_CODES, code_to_bits,
+                                           rotation_perms, tag_family_bits)
+
+CFG = DetectorConfig(max_components=8, max_detections=4, ccl_iters=16)
+
+
+def test_code_table_properties():
+    bits = tag_family_bits()
+    assert bits.shape == (len(TAG36H11_CODES), 36)
+    # all codewords distinct under all 4 rotations with margin
+    perms = rotation_perms()
+    rotated = bits[:, perms]  # (N,4,36)
+    flat = rotated.reshape(-1, 36)
+    d = (flat[:, None, :] != flat[None, :, :]).sum(-1)
+    np.fill_diagonal(d, 99)
+    # tag36h11 guarantees pairwise hamming >= 11 between different codes;
+    # same-code different-rotation pairs must also be far (else decode is
+    # ambiguous)
+    n = len(TAG36H11_CODES)
+    for i in range(4 * n):
+        for j in range(4 * n):
+            if i // 4 == j // 4 and i != j:
+                assert d[i, j] >= 6, (i, j, d[i, j])
+            elif i // 4 != j // 4:
+                assert d[i, j] >= 11, (i, j, d[i, j])
+
+
+def test_rotation_perms_are_rotations():
+    perms = rotation_perms()
+    g = np.arange(36).reshape(6, 6)
+    for k in range(4):
+        np.testing.assert_array_equal(g.reshape(-1)[perms[k]],
+                                      np.rot90(g, k).reshape(-1))
+
+
+def test_detect_frontal():
+    img = render_tag(9, cell_px=16)
+    det = detect_tags(jnp.asarray(img), CFG)
+    assert bool(det.valid[0])
+    assert int(det.ids[0]) == 9
+    assert int(det.hamming[0]) == 0
+    got = np.asarray(det.corners[0])
+    np.testing.assert_allclose(got, tag_corner_px(16), atol=0.75)
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 3])
+def test_detect_rotated(k):
+    """Rotated tag image still decodes to the same id; canonical corner 0
+    maps to the rotated position of the upright tag's TL corner."""
+    img0 = render_tag(16, cell_px=16)
+    img = np.ascontiguousarray(np.rot90(img0, k))
+    det = detect_tags(jnp.asarray(img), CFG)
+    assert bool(det.valid[0]) and int(det.ids[0]) == 16
+    # np.rot90(img, k) maps pixel (x,y) -> ... check that corner 0 is the
+    # image of the original TL corner under the rotation
+    h, w = img0.shape
+    tl = tag_corner_px(16)[0]
+    xy = tl.copy()
+    for _ in range(k):
+        xy = np.array([xy[1], w - 1 - xy[0]])  # rot90 CCW pixel map
+        w, h = h, w
+    got = np.asarray(det.corners[0][0])
+    np.testing.assert_allclose(got, xy, atol=1.0)
+
+
+def test_detect_multiple_ids():
+    a = render_tag(9, cell_px=12)
+    b = render_tag(16, cell_px=12)
+    canvas = np.full((200, 400), 180.0, dtype=np.float32)
+    canvas[20:20 + a.shape[0], 30:30 + a.shape[1]] = a
+    canvas[40:40 + b.shape[0], 230:230 + b.shape[1]] = b
+    det = detect_tags(jnp.asarray(canvas),
+                      DetectorConfig(max_components=16, max_detections=8,
+                                     ccl_iters=24))
+    ids = set(np.asarray(det.ids)[np.asarray(det.valid)].tolist())
+    assert {9, 16} <= ids
+
+
+def test_detect_batch():
+    imgs = np.stack([render_tag(3, cell_px=16), render_tag(7, cell_px=16)])
+    det = detect_tags_batch(jnp.asarray(imgs), CFG)
+    assert int(det.ids[0, 0]) == 3
+    assert int(det.ids[1, 0]) == 7
+
+
+def test_no_tag_no_detection(rng):
+    noise = rng.uniform(0, 255, size=(160, 160)).astype(np.float32)
+    det = detect_tags(jnp.asarray(noise), CFG)
+    assert not bool(np.asarray(det.valid).any())
+
+
+def test_decision_margin_threshold():
+    img = render_tag(5, cell_px=16, white=140.0, black=120.0)  # low contrast
+    det = detect_tags(jnp.asarray(img),
+                      DetectorConfig(max_components=8, max_detections=4,
+                                     ccl_iters=16, min_decision_margin=50.0))
+    # margin of a 20-gray-level tag is ~10 < 50 -> rejected
+    assert not bool(np.asarray(det.valid).any())
