@@ -41,15 +41,23 @@ def main():
 
     r = jnp.asarray(rgbs)
     d = jnp.asarray(depths)
-    out = run(r, d)
-    jax.block_until_ready(out)
 
-    # steady state
+    def sync(o):
+        # block_until_ready is not a reliable fence through the axon
+        # tunnel; a tiny host transfer of a late-dependency array is
+        np.asarray(o.pose.anchor_P_depth)
+        np.asarray(o.detections.ids)
+
+    out = run(r, d)
+    sync(out)
+
+    # steady state: async dispatch, one draining sync at the end (total
+    # wall clock over total frames = true pipeline throughput)
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(r, d)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
 
     fps = BATCH * iters / dt

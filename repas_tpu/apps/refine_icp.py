@@ -34,7 +34,19 @@ def _as_cloud(geom, n=50_000, seed=0) -> np.ndarray:
     return pts
 
 
-def global_register(src_pts, tgt_pts, cfg: RansacConfig = RansacConfig()):
+def _console_approve(prompt: str) -> bool:
+    """Console approval (the reference's PyQt5 -> AppleScript -> console
+    fallback chain, icp_cad_model.py:120-173; only the console tier makes
+    sense headless)."""
+    try:
+        ans = input(f"{prompt} [y/N]: ").strip().lower()
+    except EOFError:
+        return True
+    return ans in ("y", "yes")
+
+
+def global_register(src_pts, tgt_pts, cfg: RansacConfig = RansacConfig(),
+                    seed: int = 0):
     """RANSAC + FPFH global registration (icp_cad_model.py:62-96):
     voxel = cfg.voxel_frac_of_diag * AABB diagonal; FPFH radius = 5*voxel;
     distance checker at 2.5*voxel."""
@@ -52,11 +64,14 @@ def global_register(src_pts, tgt_pts, cfg: RansacConfig = RansacConfig()):
         clouds.append((pd, md, feat))
     (sp, sm, sf), (tp, tm, tf) = clouds
     corr, _ = match_features(sf, sm, tf, tm)
+    import jax
+
     T, fitness = ransac_registration(
         sp, sm, tp, tm, corr,
         dist_thresh=cfg.dist_check_mult * voxel,
         edge_check=cfg.edge_length_check,
-        n_hypotheses=cfg.hypothesis_batch)
+        n_hypotheses=cfg.hypothesis_batch,
+        key=jax.random.PRNGKey(seed))
     return np.asarray(T, dtype=np.float64), float(fitness), voxel
 
 
@@ -68,6 +83,10 @@ def main(argv=None):
     p.add_argument("--global", dest="global_init", action="store_true",
                    help="RANSAC+FPFH global init before ICP")
     p.add_argument("--max-corr", type=float, default=0.05)
+    p.add_argument("--approve", action="store_true",
+                   help="ask for human approval of the global registration;"
+                        " on reject, reseed RANSAC and retry (up to 3x,"
+                        " icp_cad_model.py:201-214 semantics)")
     p.add_argument("--json", type=Path)
     args = p.parse_args(argv)
 
@@ -79,11 +98,18 @@ def main(argv=None):
     report = {}
     if args.global_init:
         src_pts = _as_cloud(src_geom)
-        T_g, fit, voxel = global_register(src_pts, tgt_pts)
+        for attempt in range(3):
+            T_g, fit, voxel = global_register(src_pts, tgt_pts,
+                                              seed=attempt)
+            log.info("global registration fitness %.3f (voxel %.4f)",
+                     fit, voxel)
+            if not args.approve or _console_approve(
+                    f"accept global registration (fitness {fit:.3f})?"):
+                break
+            log.info("rejected; reseeding RANSAC (attempt %d)", attempt + 2)
         T_total = T_g
         report["global"] = {"fitness": fit, "voxel": voxel,
                             "T": T_g.tolist()}
-        log.info("global registration fitness %.3f (voxel %.4f)", fit, voxel)
         src_geom = src_geom.transformed(T_g)
 
     icp_cfg = ICPConfig(max_corr_dist=args.max_corr)

@@ -64,6 +64,24 @@ def detect_checkerboard_corners(gray: jnp.ndarray, cols: int, rows: int,
     """
     n = rows * cols
     resp = _saddle_response(gray, sigma)
+    # X-corner quadrant test: at a true checkerboard corner the two
+    # diagonals disagree in intensity with the SAME signed difference
+    # (q1-q3 and q2-q4 both = A-B); at board-boundary L-corners one of the
+    # two differences vanishes. Gates out the outer-edge saddles that
+    # would corrupt the extremal grid seeding.
+    g = gaussian_blur(gray, 1.0)
+    r = 3
+    p = jnp.pad(g, r, mode="edge")
+    h, w = gray.shape
+    q1 = p[0:h, 0:w]                  # (-r,-r)
+    q2 = p[2 * r:, 2 * r:][:h, :w]    # (+r,+r)
+    q3 = p[2 * r:, 0:w][:h, :]        # (+r,-r) -> (x-r, y+r)
+    q4 = p[0:h, 2 * r:][:, :w]        # (-r,+r)
+    d13 = q1 - q3
+    d24 = q2 - q4
+    xcorner = jnp.minimum(jnp.abs(d13), jnp.abs(d24)) * (
+        jnp.sign(d13) == jnp.sign(d24))
+    resp = jnp.where(xcorner > 10.0, resp, 0.0)
     uv, scores = _nms_topk(resp, n + n // 2)      # some headroom
     valid = scores > 0.05 * scores[0]
     uv = jnp.where(valid[:, None], uv, jnp.nan)
@@ -277,12 +295,20 @@ def calibrate_camera(obj_pts: np.ndarray, img_pts: np.ndarray,
             J = jac(p)
             JTJ = J.T @ J
             g = J.T @ r
-            step = jnp.linalg.solve(
-                JTJ + lam * jnp.diag(jnp.diag(JTJ)) + 1e-12 * jnp.eye(JTJ.shape[0]), g)
+            # Jacobi column scaling: parameters span 4 orders of magnitude
+            # (fx ~ 1e3 vs k3 ~ 1e-2), fatal for an f32 normal-equation
+            # solve without preconditioning
+            d = jnp.sqrt(jnp.clip(jnp.diag(JTJ), 1e-12, None))
+            Dinv = 1.0 / d
+            A = JTJ * Dinv[:, None] * Dinv[None, :]
+            b = g * Dinv
+            y = jnp.linalg.solve(
+                A + lam * jnp.eye(A.shape[0], dtype=A.dtype), b)
+            step = y * Dinv
             p_new = p - step
             better = jnp.sum(residuals(p_new) ** 2) < jnp.sum(r ** 2)
-            lam_new = jnp.where(better, jnp.maximum(lam * 0.5, 1e-9),
-                                jnp.minimum(lam * 4.0, 1e3))
+            lam_new = jnp.where(better, jnp.maximum(lam * 0.3, 1e-10),
+                                jnp.minimum(lam * 5.0, 1e3))
             p = jnp.where(better, p_new, p)
             return (p, lam_new), None
 

@@ -91,9 +91,11 @@ def statistical_outlier_mask(pts: jnp.ndarray, mask: jnp.ndarray,
     if key is None:
         key = jax.random.PRNGKey(0)
     n = pts.shape[0]
+    sample = min(sample, n)
     probs = mask.astype(jnp.float32)
     probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
-    idx = jax.random.choice(key, n, shape=(sample,), p=probs)
+    idx = jax.random.choice(key, n, shape=(sample,), p=probs,
+                            replace=False)
     ref = pts[idx]                                    # (S,3)
     ref_ok = mask[idx]
 

@@ -31,9 +31,11 @@ def fpfh_features(pts: jnp.ndarray, normals: jnp.ndarray,
     if key is None:
         key = jax.random.PRNGKey(2)
     n = pts.shape[0]
+    sample = min(sample, n)
     probs = mask.astype(jnp.float32)
     probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
-    idx = jax.random.choice(key, n, shape=(sample,), p=probs)
+    idx = jax.random.choice(key, n, shape=(sample,), p=probs,
+                            replace=False)
     ref = pts[idx]
     ref_n = normals[idx]
     ref_ok = mask[idx]

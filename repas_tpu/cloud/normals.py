@@ -26,9 +26,11 @@ def estimate_normals(pts: jnp.ndarray, mask: jnp.ndarray, k: int = 30,
         key = jax.random.PRNGKey(1)
     cam = jnp.zeros(3, pts.dtype) if camera is None else jnp.asarray(camera)
     n = pts.shape[0]
-    probs = mask.astype(jnp.float32)
+    sample = min(sample, n)  # without replacement: duplicates would
+    probs = mask.astype(jnp.float32)  # degenerate the PCA neighborhoods
     probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
-    idx = jax.random.choice(key, n, shape=(sample,), p=probs)
+    idx = jax.random.choice(key, n, shape=(sample,), p=probs,
+                            replace=False)
     ref = pts[idx]
     ref_ok = mask[idx]
 

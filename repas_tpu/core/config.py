@@ -15,8 +15,8 @@ class DetectorConfig:
     """AprilTag detector knobs (april_tag_detector_solvepnp.py:154-162)."""
 
     family: str = "tag36h11"
-    quad_decimate: float = 1.0
-    quad_sigma: float = 0.0
+    quad_decimate: float = 2.0   # segmentation at half res; corners refined
+    quad_sigma: float = 0.0      # at full res (C detector's quad_decimate)
     refine_edges: bool = True
     decode_sharpening: float = 0.25
     max_hamming: int = 2
@@ -25,10 +25,13 @@ class DetectorConfig:
     max_components: int = 64            # candidate dark regions per frame
     max_detections: int = 16            # decoded tags returned per frame
     min_area_px: float = 64.0
-    max_area_frac: float = 0.25
+    max_area_frac: float = 0.45   # cap on component area (vs frame area);
+                                  # excludes background-sized blobs while
+                                  # allowing close-up tags
     tile: int = 4                       # adaptive-threshold tile (AprilTag uses 4)
     min_contrast: float = 10.0          # min (max-min) per neighborhood to threshold
-    ccl_iters: int = 64                 # label-propagation iterations (w/ pointer jumping)
+    ccl_iters: int = 6                  # scan+stencil propagation rounds
+                                        # (each covers full straight runs)
 
 
 @dataclass(frozen=True)

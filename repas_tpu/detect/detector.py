@@ -36,7 +36,7 @@ from repas_tpu.core.config import DetectorConfig
 from repas_tpu.detect import tag_families
 from repas_tpu.kernels.ccl import connected_components, top_k_components
 from repas_tpu.kernels.image import (adaptive_threshold, bilinear_sample,
-                                     gaussian_blur, rgb_to_gray)
+                                     decimate, gaussian_blur, rgb_to_gray)
 
 _NDIRS = 16
 
@@ -60,28 +60,30 @@ def _support_points(labels: jnp.ndarray, roots: jnp.ndarray):
 
     labels: (H,W) int32 component labels; roots: (C,) root label per slot.
     Returns (C, _NDIRS, 2) float32 pixel coords.
+
+    Implemented as masked reductions over a (C,N) membership matrix (built
+    once, reused across directions) — pure bandwidth-bound VPU passes; the
+    scatter/gather formulation costs ~25x more on v5e.
     """
     h, w = labels.shape
-    n = h * w
     flat = labels.reshape(-1)
+    m = flat[None, :] == roots[:, None]                   # (C, N)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
     thetas = np.pi * 2.0 * np.arange(_NDIRS) / _NDIRS
-    cos = jnp.asarray(np.cos(thetas), jnp.float32)
-    sin = jnp.asarray(np.sin(thetas), jnp.float32)
+    neg = jnp.float32(-1e9)
 
-    def one_dir(c, s):
-        proj = xs * c + ys * s
-        mx = jnp.full(n + 1, -jnp.inf, jnp.float32).at[flat].max(proj)
-        # winner pixels scatter their coordinates
-        is_win = proj >= mx[flat] - 1e-4
-        keys = jnp.where(is_win, flat, n)
-        ux = jnp.zeros(n + 1, jnp.float32).at[keys].max(jnp.where(is_win, xs, -jnp.inf))
-        uy = jnp.zeros(n + 1, jnp.float32).at[keys].max(jnp.where(is_win, ys, -jnp.inf))
-        return ux[roots], uy[roots]
-
-    px, py = jax.vmap(one_dir)(cos, sin)        # (NDIRS, C) each
-    return jnp.stack([px.T, py.T], axis=-1)     # (C, NDIRS, 2)
+    outs = []
+    for t in thetas:
+        c, s = np.float32(np.cos(t)), np.float32(np.sin(t))
+        proj = xs * c + ys * s                            # (N,)
+        pm = jnp.where(m, proj[None, :], neg)             # (C, N)
+        mx = jnp.max(pm, axis=1)                          # (C,)
+        win = pm >= (mx[:, None] - 1e-3)
+        ux = jnp.max(jnp.where(win, xs[None, :], neg), axis=1)
+        uy = jnp.max(jnp.where(win, ys[None, :], neg), axis=1)
+        outs.append(jnp.stack([ux, uy], axis=-1))
+    return jnp.stack(outs, axis=1)                        # (C, NDIRS, 2)
 
 
 def _quad_from_support(sup: jnp.ndarray) -> jnp.ndarray:
@@ -147,12 +149,19 @@ def _refine_edges(gray: jnp.ndarray, quad: jnp.ndarray,
         mu = jnp.sum(pts * wsum[:, None], axis=0) / jnp.sum(wsum)
         dp = (pts - mu) * jnp.sqrt(wsum)[:, None]
         cov = dp.T @ dp
-        # principal eigenvector of 2x2 cov (closed form)
+        # principal eigenvector of 2x2 cov (closed form). Both candidate
+        # forms degenerate when their off-diagonal vanishes — pick the
+        # larger one, falling back to the edge tangent when both collapse
+        # (axis-aligned float noise can leave a tiny perpendicular vector
+        # that would otherwise masquerade as a valid direction).
         tr = cov[0, 0] + cov[1, 1]
         det = cov[0, 0] * cov[1, 1] - cov[0, 1] * cov[1, 0]
         lam = tr / 2 + jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
-        v = jnp.stack([cov[0, 1], lam - cov[0, 0]])
-        v = jnp.where(jnp.linalg.norm(v) < 1e-9,
+        v1 = jnp.stack([cov[0, 1], lam - cov[0, 0]])
+        v2 = jnp.stack([lam - cov[1, 1], cov[1, 0]])
+        v = jnp.where(jnp.linalg.norm(v1) >= jnp.linalg.norm(v2), v1, v2)
+        scale = jnp.sqrt(jnp.maximum(lam, 1e-12))
+        v = jnp.where(jnp.linalg.norm(v) < 1e-6 * scale,
                       t_hat, v / (jnp.linalg.norm(v) + 1e-12))
         return mu, v
 
@@ -172,7 +181,7 @@ def _refine_edges(gray: jnp.ndarray, quad: jnp.ndarray,
     corners = jax.vmap(lambda i: intersect(mus[prev[i]], vs[prev[i]],
                                            mus[i], vs[i]))(jnp.arange(4))
     # guard: keep original corner if refinement exploded
-    ok = jnp.linalg.norm(corners - quad, axis=1) < 4.0
+    ok = jnp.linalg.norm(corners - quad, axis=1) < 2.0 * search
     return jnp.where(ok[:, None], corners, quad)
 
 
@@ -274,17 +283,30 @@ def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig()
         gray = gaussian_blur(gray, config.quad_sigma)
     h, w = gray.shape
 
-    binary, ambiguous = adaptive_threshold(gray, tile=config.tile,
+    # segmentation/quad search run decimated (quad_decimate semantics of
+    # the C detector); corners are refined at full resolution afterwards
+    dec = max(1, int(config.quad_decimate))
+    gray_lo = decimate(gray, dec) if dec > 1 else gray
+    hl, wl = gray_lo.shape
+
+    binary, ambiguous = adaptive_threshold(gray_lo, tile=config.tile,
                                            min_contrast=config.min_contrast)
     dark = (~binary) & (~ambiguous)
     labels = connected_components(dark, iters=config.ccl_iters)
     roots, areas, valid_c = top_k_components(
-        labels, config.max_components, min_area=config.min_area_px,
-        max_area=config.max_area_frac * h * w, ring_filter=True)
+        labels, config.max_components,
+        min_area=config.min_area_px / (dec * dec),
+        max_area=config.max_area_frac * hl * wl, ring_filter=True,
+        min_side=8.0 / dec)
+    areas = areas * (dec * dec)
 
     sup = _support_points(labels, roots)              # (C,16,2)
     quads = jax.vmap(_quad_from_support)(sup)         # (C,4,2)
-    quads = jax.vmap(lambda q: _refine_edges(gray, q))(quads)
+    if dec > 1:
+        # low-res pixel i covers full-res [i*dec, i*dec+dec-1]
+        quads = quads * dec + (dec - 1) / 2.0
+    quads = jax.vmap(lambda q: _refine_edges(gray, q, search=2.0 + dec)
+                     )(quads)
 
     table = jnp.asarray(tag_families.tag_family_bits())
     perms = jnp.asarray(tag_families.rotation_perms())

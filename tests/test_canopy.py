@@ -73,10 +73,11 @@ def test_detect_rotate_bar_levels_image():
     line, M, rotated = detect_rotate_bar(jnp.asarray(rgb))
     assert bool(line.found)
     assert abs(float(line.angle_deg) - 8.0) < 1.5
-    # after rotation the bar should be horizontal: bright pixels span few rows
+    # after rotation the bar should be horizontal: bar-intensity pixels
+    # (220; excludes the 255 white border fill) span few rows
     g = np.asarray(rotated).mean(axis=-1)
-    bright_rows = np.where((g > 150).sum(axis=1) > 50)[0]
-    assert bright_rows.ptp() <= 4
+    bar_rows = np.where(((g > 180) & (g < 245)).sum(axis=1) > 50)[0]
+    assert np.ptp(bar_rows) <= 4
 
 
 def _plant_scene():

@@ -19,9 +19,9 @@ def test_radius_mask():
 
 
 def test_voxel_downsample_merges(rng):
-    # two clusters of 50 points each within 1cm; voxel 5cm -> 2 cells
-    a = rng.normal(scale=0.002, size=(50, 3)) + [0.0, 0, 0]
-    b = rng.normal(scale=0.002, size=(50, 3)) + [0.2, 0, 0]
+    # two tight clusters centered well inside distinct cells -> 2 cells
+    a = rng.normal(scale=0.002, size=(50, 3)) + [0.025, 0.025, 0.025]
+    b = rng.normal(scale=0.002, size=(50, 3)) + [0.225, 0.025, 0.025]
     pts = jnp.asarray(np.concatenate([a, b]), jnp.float32)
     mask = jnp.ones(100, bool)
     out, _, _, valid = voxel_downsample(pts, mask, 0.05)

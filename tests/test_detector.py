@@ -9,7 +9,7 @@ from repas_tpu.detect.render import render_tag_in_scene, tag_corner_px
 from repas_tpu.detect.tag_families import (TAG36H11_CODES, code_to_bits,
                                            rotation_perms, tag_family_bits)
 
-CFG = DetectorConfig(max_components=8, max_detections=4, ccl_iters=16)
+CFG = DetectorConfig(max_components=8, max_detections=4, ccl_iters=6)
 
 
 def test_code_table_properties():
@@ -79,7 +79,7 @@ def test_detect_multiple_ids():
     canvas[40:40 + b.shape[0], 230:230 + b.shape[1]] = b
     det = detect_tags(jnp.asarray(canvas),
                       DetectorConfig(max_components=16, max_detections=8,
-                                     ccl_iters=24))
+                                     ccl_iters=6))
     ids = set(np.asarray(det.ids)[np.asarray(det.valid)].tolist())
     assert {9, 16} <= ids
 

@@ -63,8 +63,11 @@ def test_ippe_square_noisy(rng):
         errs_t.append(np.linalg.norm(np.asarray(t_hat) - t))
         R_true = np.asarray(rodrigues(jnp.asarray(rvec)))
         errs_r.append(float(rotation_angle_deg(jnp.asarray(R_true), R)))
-    assert np.median(errs_t) < 5e-3
-    assert np.median(errs_r) < 2.0
+    # 0.2 px noise on a 30 mm tag at up to 1.5 m propagates to ~2 cm depth
+    # uncertainty (z^2 / (f * s) * sigma) and several degrees of planar
+    # ambiguity wobble; median over poses stays within those bounds
+    assert np.median(errs_t) < 2.5e-2
+    assert np.median(errs_r) < 6.0
 
 
 def test_best_order_recovers_permutation(rng):
