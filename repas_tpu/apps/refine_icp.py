@@ -83,6 +83,9 @@ def main(argv=None):
     p.add_argument("--global", dest="global_init", action="store_true",
                    help="RANSAC+FPFH global init before ICP")
     p.add_argument("--max-corr", type=float, default=0.05)
+    p.add_argument("--top-fraction", type=float, default=0.0,
+                   help="second-round ICP on the top Y-fraction of both "
+                        "clouds (icp_cad_model.py two-round refinement)")
     p.add_argument("--approve", action="store_true",
                    help="ask for human approval of the global registration;"
                         " on reject, reseed RANSAC and retry (up to 3x,"
@@ -117,9 +120,30 @@ def main(argv=None):
                                         PointCloud(points=tgt_pts), icp_cfg)
     T_total = T_icp @ T_total
     report["icp"] = icp_report
-    report["T_total"] = T_total.tolist()
     log.info("ICP fitness=%.3f rmse=%.4f", icp_report["fitness"],
              icp_report["inlier_rmse"])
+
+    if args.top_fraction > 0:
+        # second-round ICP on the top fraction along Y
+        # (icp_cad_model.py:244-312: crop both clouds to their top
+        # Y-fraction, re-run ICP, compose T2 = delta_icp @ T)
+        src2 = read_geometry(args.source).transformed(T_total)
+        s_pts = _as_cloud(src2)
+        frac = args.top_fraction
+        def top_y(p):
+            lo, hi = p[:, 1].min(), p[:, 1].max()
+            return p[p[:, 1] <= lo + frac * (hi - lo)]
+        s_top = top_y(s_pts)
+        t_top = top_y(tgt_pts)
+        if len(s_top) > 100 and len(t_top) > 100:
+            rep2, T2 = refine_with_icp(PointCloud(points=s_top),
+                                       PointCloud(points=t_top), icp_cfg)
+            T_total = T2 @ T_total
+            report["icp_top_fraction"] = rep2
+            log.info("top-fraction ICP fitness=%.3f rmse=%.4f",
+                     rep2["fitness"], rep2["inlier_rmse"])
+
+    report["T_total"] = T_total.tolist()
 
     out_geom = read_geometry(args.source).transformed(T_total)
     write_ply(args.out, out_geom)

@@ -19,9 +19,9 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnames=("iters", "connectivity",
                                               "jump_every"))
-def connected_components(mask: jnp.ndarray, iters: int = 6,
+def connected_components(mask: jnp.ndarray, iters: int = 5,
                          connectivity: int = 8,
-                         jump_every: int = 3) -> jnp.ndarray:
+                         jump_every: int = 0) -> jnp.ndarray:
     """Label connected True-regions of `mask` (H,W bool).
 
     Returns (H,W) int32 labels: the minimum linear pixel index of the

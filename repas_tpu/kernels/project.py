@@ -74,8 +74,10 @@ def project_camera_points(cam: jnp.ndarray, K, dist=None) -> jnp.ndarray:
     zsafe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
     xy = cam[..., :2] / zsafe[..., None]
     if dist is not None:
-        dist = jnp.asarray(dist)
-        xy = jnp.where(jnp.any(dist != 0.0), distort_normalized(xy, dist), xy)
+        # always apply the polynomial (identity at zero coeffs) — gating
+        # on any(dist != 0) would zero the gradient w.r.t. dist at the
+        # origin, freezing distortion in calibration's LM
+        xy = distort_normalized(xy, jnp.asarray(dist))
     u = K[0, 0] * xy[..., 0] + K[0, 2]
     v = K[1, 1] * xy[..., 1] + K[1, 2]
     return jnp.stack([u, v], axis=-1)

@@ -24,7 +24,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -61,7 +61,7 @@ def fuse_views_allgather(mesh: Mesh, axis: str = "frames"):
     gathering every device's views into a fused cloud on all devices."""
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(axis), P(axis)), out_specs=(P(None), P(None)))
     def fuse(pts, valid):
         all_pts = jax.lax.all_gather(pts, axis, tiled=True)
@@ -76,7 +76,7 @@ def batch_stats_psum(mesh: Mesh, axis: str = "frames"):
     whole sharded batch with psum."""
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(axis), P(axis)), out_specs=(P(), P()))
     def stats(v, m):
         s = jax.lax.psum(jnp.sum(jnp.where(m, v, 0.0)), axis)

@@ -19,12 +19,14 @@ def test_radius_mask():
 
 
 def test_voxel_downsample_merges(rng):
-    # two tight clusters centered well inside distinct cells -> 2 cells
-    a = rng.normal(scale=0.002, size=(50, 3)) + [0.025, 0.025, 0.025]
-    b = rng.normal(scale=0.002, size=(50, 3)) + [0.225, 0.025, 0.025]
+    # two tight clusters; grid origin = min point, so place the second
+    # cluster mid-cell relative to the first (0.2 apart, voxel 0.08 ->
+    # offset land at 2.5 cells, a half-cell away from any boundary)
+    a = rng.normal(scale=0.001, size=(50, 3)) + [0.03, 0.03, 0.03]
+    b = rng.normal(scale=0.001, size=(50, 3)) + [0.23, 0.03, 0.03]
     pts = jnp.asarray(np.concatenate([a, b]), jnp.float32)
     mask = jnp.ones(100, bool)
-    out, _, _, valid = voxel_downsample(pts, mask, 0.05)
+    out, _, _, valid = voxel_downsample(pts, mask, 0.08)
     v = np.asarray(valid)
     assert v.sum() == 2
     centers = np.asarray(out)[v]

@@ -23,26 +23,27 @@ def jnp():
 
 
 def test_detect_real_captures(reference_root, jnp):
-    """Every checked-in aligned capture contains tag 16; the detector must
-    find it with hamming 0 and margin >= the reference's acceptance
-    threshold of 10."""
+    """Every checked-in aligned capture contains tag 16; the detector
+    (with the CLAHE retry ladder the reference also uses on these
+    captures) must find it with hamming 0 and margin >= the reference's
+    acceptance threshold of 10."""
     from repas_tpu.core.config import DetectorConfig
-    from repas_tpu.detect import detect_tags
+    from repas_tpu.detect.robust import detect_tags_robust
     from repas_tpu.io.replay import ReplayBackend
 
     rb = ReplayBackend(reference_root /
                        "realsense_d415i/testing_scripts/aligned_outputs")
     found = 0
     for f in rb.read_all():
-        det = detect_tags(jnp.asarray(f.color), DetectorConfig())
+        det = detect_tags_robust(jnp.asarray(f.color), DetectorConfig())
         v = np.asarray(det.valid)
-        ids = np.asarray(det.ids)[v]
+        ids = np.asarray(det.ids)[v].tolist()
         if 16 in ids:
-            i = list(np.asarray(det.ids)).index(16)
+            i = np.asarray(det.ids).tolist().index(16)
             assert int(np.asarray(det.hamming)[i]) == 0
             assert float(np.asarray(det.decision_margin)[i]) >= 10.0
             found += 1
-    assert found >= 3, f"tag 16 found in only {found} captures"
+    assert found >= 4, f"tag 16 found in only {found} captures"
 
 
 def test_pose_depth_consistency(reference_root, jnp):
@@ -50,7 +51,7 @@ def test_pose_depth_consistency(reference_root, jnp):
     vis_tool_april_tag_pose_validaiton.py): must agree within 5%."""
     from repas_tpu.core.calib import load_intrinsics_json
     from repas_tpu.core.config import DetectorConfig
-    from repas_tpu.detect import detect_tags
+    from repas_tpu.detect.robust import detect_tags_robust
     from repas_tpu.io.replay import ReplayBackend
     from repas_tpu.kernels.pointcloud import median_depth_window
     from repas_tpu.pose.pnp import solve_pnp_best_order
@@ -61,7 +62,7 @@ def test_pose_depth_consistency(reference_root, jnp):
                        "realsense_d415i/testing_scripts/aligned_outputs")
     checked = 0
     for f in rb.read_all():
-        det = detect_tags(jnp.asarray(f.color), DetectorConfig())
+        det = detect_tags_robust(jnp.asarray(f.color), DetectorConfig())
         v = np.asarray(det.valid)
         if not v.any():
             continue
@@ -72,8 +73,11 @@ def test_pose_depth_consistency(reference_root, jnp):
             det.corners[i], K, jnp.zeros(8), 0.0303)
         assert float(err) < 2.0, f"reproj {float(err)} px"
         # depth image is 640x360 aligned; project tag center into it
+        # (one capture dir has an extra rgb frame with no depth pair)
         t = np.asarray(t)
         depth = f.depth_meters()
+        if depth is None:
+            continue
         Kd = intr.scaled(depth.shape[1], depth.shape[0]).K
         u = int(round(Kd[0, 0] * t[0] / t[2] + Kd[0, 2]))
         vpx = int(round(Kd[1, 1] * t[1] / t[2] + Kd[1, 2]))
