@@ -26,7 +26,7 @@ def main():
     from repas_tpu.pipeline import process_frames
     from __graft_entry__ import _example_frame
 
-    BATCH = 8
+    BATCH = 16
     H, W = 720, 1280
     rgb, depth, K = _example_frame(H, W)
     rng = np.random.default_rng(0)

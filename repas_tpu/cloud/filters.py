@@ -23,52 +23,58 @@ def radius_mask(pts: jnp.ndarray, mask: jnp.ndarray,
     return mask & (d2 < max_dist * max_dist)
 
 
-@functools.partial(jax.jit, static_argnames=("dims",))
+@functools.partial(jax.jit, static_argnames=("buckets",))
 def voxel_downsample(pts: jnp.ndarray, mask: jnp.ndarray, voxel: float,
                      colors: jnp.ndarray | None = None,
                      normals: jnp.ndarray | None = None,
-                     dims: tuple = (256, 256, 256)):
+                     buckets: int | None = None):
     """Voxel-grid downsample by averaging per cell (Open3D
     voxel_down_sample semantics).
 
-    Returns (pts (C,3), colors, normals, valid (C,)) with C = number of
-    grid cells... compacted to the input size N (fixed shape): cell means
-    are scattered back into the first occupied-cell slots. Output arrays
-    have shape (N,3) with `valid` marking real cells.
+    Uses a hashed voxel map instead of a dense grid, so the extent is
+    unbounded (a dense grid of fixed dims silently collapses points past
+    its edge into boundary cells). Hash-bucket collisions between distinct
+    voxels are resolved by keeping only the representative voxel's points
+    (rare: buckets ~ 4N).
+
+    Returns (pts, colors, normals, valid) all sized like the input, with
+    `valid` marking the one representative slot per occupied voxel which
+    carries that voxel's mean.
     """
     n = pts.shape[0]
-    n_cells = dims[0] * dims[1] * dims[2]
+    if buckets is None:
+        buckets = max(1 << (2 * n - 1).bit_length(), 1024)  # ~4N pow2
     lo = jnp.min(jnp.where(mask[:, None], pts, jnp.inf), axis=0)
     ijk = jnp.floor((pts - lo) / voxel).astype(jnp.int32)
-    ijk = jnp.clip(ijk, 0, jnp.asarray(dims, jnp.int32) - 1)
-    cid = (ijk[:, 0] * dims[1] + ijk[:, 1]) * dims[2] + ijk[:, 2]
-    cid = jnp.where(mask, cid, n_cells)
+    h = ((ijk[:, 0] * 73856093) ^ (ijk[:, 1] * 19349663)
+         ^ (ijk[:, 2] * 83492791)) & (buckets - 1)
+    h = jnp.where(mask, h, buckets)
 
-    cnt = jnp.zeros(n_cells + 1, jnp.float32).at[cid].add(1.0)
-    sums = jnp.zeros((n_cells + 1, 3), jnp.float32).at[cid].add(
-        jnp.where(mask[:, None], pts, 0.0))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.full(buckets + 1, n, jnp.int32).at[h].min(idx)
+    rep = jnp.clip(first[h], 0, n - 1)
+    # a point belongs to its bucket only if its voxel == the rep's voxel
+    # (hash collisions between different voxels get dropped)
+    member = mask & jnp.all(ijk == ijk[rep], axis=1)
+    hm = jnp.where(member, h, buckets)
 
-    # representative slot per occupied cell: lowest point index in cell
-    first = jnp.full(n_cells + 1, n, jnp.int32).at[cid].min(
-        jnp.arange(n, dtype=jnp.int32))
-
-    # each point that is its cell's representative emits the cell mean
-    is_rep = (first[cid] == jnp.arange(n)) & mask
-    mean = sums[cid] / jnp.maximum(cnt[cid], 1.0)[:, None]
-    out_pts = jnp.where(is_rep[:, None], mean, 0.0)
+    cnt = jnp.zeros(buckets + 1, jnp.float32).at[hm].add(1.0)
+    denom = jnp.maximum(cnt[hm], 1.0)[:, None]
+    sums = jnp.zeros((buckets + 1, 3), jnp.float32).at[hm].add(
+        jnp.where(member[:, None], pts, 0.0))
+    is_rep = member & (first[hm] == idx)
+    out_pts = jnp.where(is_rep[:, None], sums[hm] / denom, 0.0)
 
     out_cols = None
     if colors is not None:
-        csum = jnp.zeros((n_cells + 1, 3), jnp.float32).at[cid].add(
-            jnp.where(mask[:, None], colors, 0.0))
-        out_cols = jnp.where(is_rep[:, None],
-                             csum[cid] / jnp.maximum(cnt[cid], 1.0)[:, None],
-                             0.0)
+        csum = jnp.zeros((buckets + 1, 3), jnp.float32).at[hm].add(
+            jnp.where(member[:, None], colors, 0.0))
+        out_cols = jnp.where(is_rep[:, None], csum[hm] / denom, 0.0)
     out_nrm = None
     if normals is not None:
-        nsum = jnp.zeros((n_cells + 1, 3), jnp.float32).at[cid].add(
-            jnp.where(mask[:, None], normals, 0.0))
-        m = nsum[cid]
+        nsum = jnp.zeros((buckets + 1, 3), jnp.float32).at[hm].add(
+            jnp.where(member[:, None], normals, 0.0))
+        m = nsum[hm]
         m = m / jnp.maximum(jnp.linalg.norm(m, axis=1, keepdims=True), 1e-9)
         out_nrm = jnp.where(is_rep[:, None], m, 0.0)
 

@@ -30,11 +30,20 @@ def create_masked_pointcloud(rgb: jnp.ndarray, depth_m: jnp.ndarray, K,
                              voxel: float = 0.0,
                              outlier_nb: int = 20,
                              outlier_std: float = 2.0,
-                             with_normals: bool = False) -> MaskedCloud:
+                             with_normals: bool = False,
+                             min_depth: float = 0.0,
+                             max_depth: float = 10.0) -> MaskedCloud:
     """create_masked_pointcloud (create_masked_ply.py:56-107) + the
     downstream filter chain (:163-174). voxel=0 skips downsampling,
-    outlier_nb=0 skips outlier removal."""
-    pts, cols, valid = rgbd_to_pointcloud(rgb, depth_m, K, mask=mask)
+    outlier_nb=0 skips outlier removal.
+
+    max_depth defaults to 10 m: real sensors mark invalid pixels with
+    saturated u16 (65535 mm) which would otherwise poison voxel grids and
+    AABBs; the reference gates ToF validity to 0.25-8 m
+    (april_tag_detector_ToF.py:33-34)."""
+    pts, cols, valid = rgbd_to_pointcloud(rgb, depth_m, K, mask=mask,
+                                          min_depth=min_depth,
+                                          max_depth=max_depth)
 
     if voxel and voxel > 0:
         pts, cols, _, valid = voxel_downsample(pts, valid, voxel,

@@ -22,15 +22,15 @@ class DetectorConfig:
     max_hamming: int = 2
     min_decision_margin: float = 10.0   # three_pose_vertical_translation_validation.py:38
     # TPU-specific capacities (fixed-size masked-slot formulation)
-    max_components: int = 64            # candidate dark regions per frame
-    max_detections: int = 16            # decoded tags returned per frame
+    max_components: int = 48            # candidate dark regions per frame
+    max_detections: int = 8             # decoded tags returned per frame
     min_area_px: float = 64.0
     max_area_frac: float = 0.45   # cap on component area (vs frame area);
                                   # excludes background-sized blobs while
                                   # allowing close-up tags
     tile: int = 4                       # adaptive-threshold tile (AprilTag uses 4)
     min_contrast: float = 10.0          # min (max-min) per neighborhood to threshold
-    ccl_iters: int = 6                  # scan+stencil propagation rounds
+    ccl_iters: int = 5                  # scan+stencil propagation rounds
                                         # (each covers full straight runs)
 
 
@@ -40,7 +40,7 @@ class PnPConfig:
 
     tag_size_m: float = 0.0303          # april_tag_detector_solvepnp.py:40
     method: str = "ippe_square"         # ippe_square | sqpnp | iterative
-    refine_iters: int = 20              # Gauss-Newton refinement steps
+    refine_iters: int = 8               # Gauss-Newton refinement steps
     z_penalty: float = 1000.0           # score penalty when z <= 0
     try_all_orders: bool = True         # 8 cyclic/reflected corner orders (C3)
 

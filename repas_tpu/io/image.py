@@ -42,7 +42,7 @@ def write_image(path, arr: np.ndarray) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     arr = np.asarray(arr)
     if arr.dtype == np.uint16:
-        Image.fromarray(arr, mode="I;16").save(path)
+        Image.fromarray(arr).save(path)
     else:
         Image.fromarray(arr.astype(np.uint8)).save(path)
 

@@ -157,7 +157,7 @@ def _ippe_from_homography(Hn: jnp.ndarray):
 
 
 def solve_pnp_ippe_square(img_corners: jnp.ndarray, K, dist, tag_size_m,
-                          refine_iters: int = 10):
+                          refine_iters: int = 8):
     """IPPE_SQUARE: 4 pixel corners (TL,TR,BR,BL object order) -> pose.
 
     Returns (R (3,3), t (3,), reproj_err_px). Both analytic solutions are
@@ -316,7 +316,7 @@ def solve_pnp_sqpnp(obj_pts: jnp.ndarray, img_pts: jnp.ndarray, K, dist=None,
 
 @functools.partial(jax.jit, static_argnames=("refine_iters",))
 def solve_pnp_best_order(img_corners: jnp.ndarray, K, dist, tag_size_m,
-                         z_penalty: float = 1000.0, refine_iters: int = 10):
+                         z_penalty: float = 1000.0, refine_iters: int = 8):
     """Try all 8 cyclic/reflected object-corner orderings with IPPE-square;
     score = mean reprojection error + z_penalty * (z <= 0); keep the best.
 

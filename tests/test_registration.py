@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from repas_tpu.cloud.fpfh import (fpfh_features, match_features,
+                                  ransac_registration)
+from repas_tpu.cloud.normals import estimate_normals
+from repas_tpu.core.transforms import make_T, rodrigues, rotation_angle_deg
+from repas_tpu.kernels.color import frame_to_rgb, nv12_to_rgb, yuyv_to_rgb
+
+
+def _bumpy_cloud(rng, n=1500):
+    pts = np.column_stack([
+        rng.uniform(-0.5, 0.5, n), rng.uniform(-0.5, 0.5, n),
+        np.zeros(n)]).astype(np.float32)
+    pts[:, 2] = (0.08 * np.sin(7 * pts[:, 0]) * np.cos(5 * pts[:, 1])
+                 + 0.05 * pts[:, 0] ** 2)
+    return pts
+
+
+def test_global_registration_recovers_pose(rng):
+    tgt = _bumpy_cloud(rng)
+    rv = np.array([0.05, -0.08, 0.35], dtype=np.float32)
+    t = np.array([0.08, -0.05, 0.04], dtype=np.float32)
+    R = np.asarray(rodrigues(jnp.asarray(rv)))
+    src = ((tgt - t) @ R).astype(np.float32)   # (R,t) maps src onto tgt
+
+    mask_s = jnp.ones(len(src), bool)
+    mask_t = jnp.ones(len(tgt), bool)
+    nrm_s, _ = estimate_normals(jnp.asarray(src), mask_s, k=16, radius=0.2,
+                                camera=jnp.array([0., 0., 5.]))
+    nrm_t, _ = estimate_normals(jnp.asarray(tgt), mask_t, k=16, radius=0.2,
+                                camera=jnp.array([0., 0., 5.]))
+    f_s = fpfh_features(jnp.asarray(src), nrm_s, mask_s, radius=0.15)
+    f_t = fpfh_features(jnp.asarray(tgt), nrm_t, mask_t, radius=0.15)
+    corr, d = match_features(f_s, mask_s, f_t, mask_t)
+    # feature matching should be right for a decent fraction
+    T, fitness = ransac_registration(jnp.asarray(src), mask_s,
+                                     jnp.asarray(tgt), mask_t, corr,
+                                     dist_thresh=0.03,
+                                     n_hypotheses=4096)
+    T = np.asarray(T)
+    T_true = np.asarray(make_T(jnp.asarray(R), jnp.asarray(t)))
+    assert float(fitness) > 0.5, float(fitness)
+    ang = float(rotation_angle_deg(jnp.asarray(T[:3, :3], jnp.float32),
+                                   jnp.asarray(T_true[:3, :3], jnp.float32)))
+    assert ang < 5.0, ang
+    np.testing.assert_allclose(T[:3, 3], T_true[:3, 3], atol=0.02)
+
+
+def test_nv12_roundtrip():
+    # solid mid-gray: Y=126, U=V=128 -> RGB ~ (128,128,128)
+    h, w = 32, 64
+    buf = np.full((h * 3 // 2, w), 128, dtype=np.uint8)
+    buf[:h] = 126
+    rgb = np.asarray(nv12_to_rgb(jnp.asarray(buf)))
+    assert rgb.shape == (h, w, 3)
+    np.testing.assert_allclose(rgb, 128, atol=1)
+
+
+def test_yuyv_shape_and_gray():
+    h, w = 16, 32
+    buf = np.zeros((h, w * 2), dtype=np.uint8)
+    buf[:, 0::2] = 126   # Y
+    buf[:, 1::2] = 128   # U/V
+    rgb = np.asarray(yuyv_to_rgb(jnp.asarray(buf)))
+    assert rgb.shape == (h, w, 3)
+    np.testing.assert_allclose(rgb, 128, atol=1)
+
+
+def test_frame_to_rgb_dispatch():
+    h, w = 8, 16
+    raw = np.arange(h * w * 3, dtype=np.uint8).reshape(-1)
+    rgb = frame_to_rgb(raw, "rgb", w, h)
+    assert rgb.shape == (h, w, 3)
+    bgr = frame_to_rgb(raw, "bgr", w, h)
+    np.testing.assert_array_equal(bgr[..., 0], rgb[..., 2])
+    with pytest.raises(ValueError):
+        frame_to_rgb(raw, "weird", w, h)
+
+
+def test_detect_tags_robust_merges(rng):
+    from repas_tpu.core.config import DetectorConfig
+    from repas_tpu.detect.render import render_tag
+    from repas_tpu.detect.robust import detect_tags_robust
+
+    img = render_tag(12, cell_px=16)
+    det = detect_tags_robust(
+        jnp.asarray(img), DetectorConfig(max_components=8, max_detections=4))
+    v = np.asarray(det.valid)
+    ids = np.asarray(det.ids)[v].tolist()
+    assert ids.count(12) == 1  # deduped across variants
