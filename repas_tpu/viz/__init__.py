@@ -1,6 +1,6 @@
-from repas_tpu.viz.scene import (draw_detections, plot_pointcloud,
+from repas_tpu.viz.scene import (draw_detections, draw_reprojection_compare, plot_pointcloud,
                                  save_pointcloud_views, make_xy_grid_lines,
                                  axes_points)
 
-__all__ = ["draw_detections", "plot_pointcloud", "save_pointcloud_views",
+__all__ = ["draw_detections", "draw_reprojection_compare", "plot_pointcloud", "save_pointcloud_views",
            "make_xy_grid_lines", "axes_points"]

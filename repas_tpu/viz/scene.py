@@ -47,6 +47,35 @@ def draw_detections(rgb: np.ndarray, detections, path=None):
     return fig
 
 
+def draw_reprojection_compare(rgb, detected_corners, reprojected_corners,
+                              ids=None, path=None):
+    """Detected vs reprojected corner polygons per tag
+    (april_tag_2D_viz.py:223-279 combined plot)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.imshow(rgb, cmap="gray" if np.asarray(rgb).ndim == 2 else None)
+    det = np.asarray(detected_corners).reshape(-1, 4, 2)
+    rep = np.asarray(reprojected_corners).reshape(-1, 4, 2)
+    for k in range(len(det)):
+        d = np.vstack([det[k], det[k][:1]])
+        r = np.vstack([rep[k], rep[k][:1]])
+        ax.plot(d[:, 0], d[:, 1], "-o", color="lime", ms=3, lw=1.5,
+                label="detected" if k == 0 else None)
+        ax.plot(r[:, 0], r[:, 1], "--s", color="red", ms=3, lw=1.5,
+                label="reprojected" if k == 0 else None)
+        if ids is not None:
+            c = det[k].mean(axis=0)
+            ax.text(c[0], c[1], str(int(np.asarray(ids).reshape(-1)[k])),
+                    color="yellow", fontsize=12, ha="center")
+    ax.legend(loc="upper right")
+    ax.axis("off")
+    if path:
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def axes_points(size: float = 0.05, n: int = 20):
     """Colored axis line points (colored_axes_lines equivalent as point
     sets). Returns (points (3n,3), colors (3n,3))."""

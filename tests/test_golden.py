@@ -43,7 +43,7 @@ def test_detect_real_captures(reference_root, jnp):
             assert int(np.asarray(det.hamming)[i]) == 0
             assert float(np.asarray(det.decision_margin)[i]) >= 10.0
             found += 1
-    assert found >= 4, f"tag 16 found in only {found} captures"
+    assert found >= 5, f"tag 16 found in only {found} captures"
 
 
 def test_pose_depth_consistency(reference_root, jnp):
