@@ -82,23 +82,30 @@ class HoughLine(NamedTuple):
     length: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("n_theta", "rho_step"))
+@functools.partial(jax.jit, static_argnames=("n_theta", "rho_step",
+                                              "max_edges"))
 def hough_horizontal_bar(edges: jnp.ndarray, threshold: int = 50,
                          min_line_frac: float = 0.1,
                          max_angle_deg: float = 20.0,
-                         n_theta: int = 41, rho_step: float = 1.0
-                         ) -> HoughLine:
+                         n_theta: int = 41, rho_step: float = 1.0,
+                         max_edges: int = 16384) -> HoughLine:
     """Find the dominant near-horizontal line among edge pixels.
 
     Specialization of HoughLinesP to the reference's filter (length >=
     min_line_frac * width, |angle| < max_angle_deg): only angles within
     the band are binned. Returns the longest qualifying line.
+
+    Edge pixels are compacted to `max_edges` slots first (edges are ~2-5%
+    of pixels) so the (theta x edge) vote pass is one small scatter
+    instead of n_theta full-image scatters.
     """
     h, w = edges.shape
-    ys, xs = jnp.mgrid[0:h, 0:w]
-    xs = xs.astype(jnp.float32).reshape(-1)
-    ys = ys.astype(jnp.float32).reshape(-1)
-    e = edges.reshape(-1)
+    e_flat = edges.reshape(-1)
+    # compact edge pixels: top-k over the edge indicator yields the set
+    scores, idx = jax.lax.top_k(e_flat.astype(jnp.float32), max_edges)
+    valid = scores > 0
+    xs = (idx % w).astype(jnp.float32)
+    ys = (idx // w).astype(jnp.float32)
 
     # line angle band +-max_angle_deg around horizontal -> normal angles
     # around vertical
@@ -109,25 +116,25 @@ def hough_horizontal_bar(edges: jnp.ndarray, threshold: int = 50,
     diag = float(np.hypot(h, w))
     n_rho = int(np.ceil(2 * diag / rho_step)) + 1
 
-    def accum_one(c, s):
-        rho = xs * c + ys * s + diag                # >= 0
-        b = jnp.clip((rho / rho_step).astype(jnp.int32), 0, n_rho - 1)
-        acc = jnp.zeros(n_rho, jnp.float32).at[b].add(e.astype(jnp.float32))
-        return acc
-
-    acc = jax.vmap(accum_one)(ct, st)               # (T, n_rho)
+    # one scatter over all (theta, edge) pairs
+    rho_all = xs[None, :] * ct[:, None] + ys[None, :] * st[:, None] + diag
+    b = jnp.clip((rho_all / rho_step).astype(jnp.int32), 0, n_rho - 1)
+    flat_bins = (jnp.arange(n_theta, dtype=jnp.int32)[:, None] * n_rho + b)
+    flat_bins = jnp.where(valid[None, :], flat_bins, n_theta * n_rho)
+    acc = jnp.zeros(n_theta * n_rho + 1, jnp.float32).at[
+        flat_bins.reshape(-1)].add(1.0)[:-1]
 
     # find peak bin
     flat = jnp.argmax(acc)
     ti = flat // n_rho
     ri = flat % n_rho
-    votes = acc.reshape(-1)[flat]
+    votes = acc[flat]
     c, s = ct[ti], st[ti]
     rho = ri.astype(jnp.float32) * rho_step - diag
 
     # endpoints: edge pixels within 2px of the line, min/max along it
     d = jnp.abs(xs * c + ys * s - rho)
-    on = e & (d < 2.0)
+    on = valid & (d < 2.0)
     tdir = jnp.stack([-s, c])                        # line direction
     tproj = xs * tdir[0] + ys * tdir[1]
     tmin = jnp.min(jnp.where(on, tproj, jnp.inf))

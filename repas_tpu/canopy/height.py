@@ -41,16 +41,35 @@ class CanopyResult(NamedTuple):
 
 def measure_plant_height(rgb: jnp.ndarray, depth_m: jnp.ndarray, K,
                          cfg: CanopyConfig = CanopyConfig()) -> CanopyResult:
-    """rgb (H,W,3) uint8, depth_m (H,W) aligned depth in meters, K (3,3)."""
-    K = jnp.asarray(K, jnp.float32)
+    """rgb (H,W,3) uint8, depth_m (H,W) aligned depth in meters, K (3,3).
 
-    # 1. bar + rotation
+    The 2-D stages (Canny/Hough/rotation/segmentation) run at
+    1/cfg.proc_decimate resolution — full-image gathers/scatters dominate
+    on TPU and the pipeline's outputs are depth-gated 3-D points whose
+    precision is set by the depth lookup, not 2-D pixel quantization.
+    Depth lookups and deprojection use the full-resolution image and K.
+    """
+    from repas_tpu.kernels.image import decimate
+
+    K = jnp.asarray(K, jnp.float32)
+    dec = max(1, int(cfg.proc_decimate))
+    if dec > 1:
+        rgb_proc = jnp.stack([decimate(rgb[..., c], dec) for c in range(3)],
+                             axis=-1)
+    else:
+        rgb_proc = rgb
+
+    def to_full(px):
+        return px * dec + (dec - 1) / 2.0
+
+    # 1. bar + rotation (decimated coords)
     line, M, rotated = detect_rotate_bar(
-        rgb, cfg.canny_low, cfg.canny_high, cfg.hough_threshold,
+        rgb_proc, cfg.canny_low, cfg.canny_high,
+        max(1, cfg.hough_threshold // dec),
         cfg.min_coverage, cfg.max_bar_angle_deg)
 
-    # 2. bar 3D at segment midpoint in ORIGINAL image coords
-    bar_px = (line.p0 + line.p1) / 2.0
+    # 2. bar 3D at segment midpoint in ORIGINAL full-res image coords
+    bar_px = to_full((line.p0 + line.p1) / 2.0)
     bu = jnp.round(bar_px[0]).astype(jnp.int32)
     bv = jnp.round(bar_px[1]).astype(jnp.int32)
     bz = median_depth_window(depth_m, bu, bv, cfg.depth_win)
@@ -66,13 +85,13 @@ def measure_plant_height(rgb: jnp.ndarray, depth_m: jnp.ndarray, K,
     plant = apply_green_mask(rot_u8, fg, cfg.green_lo, cfg.green_hi,
                              cfg.morph_kernel)
 
-    # 5. canopy mark (rotated frame)
+    # 5. canopy mark (rotated, decimated frame)
     cy, cx, c_found = canopy_level_mark(plant)
     canopy_rot = jnp.stack([cx, cy]).astype(jnp.float32)
 
-    # 6. inverse-rotate to original coords
+    # 6. inverse-rotate, then map to full-res original coords
     Minv = invert_affine(M)
-    canopy_px = transform_points_2d(Minv, canopy_rot)
+    canopy_px = to_full(transform_points_2d(Minv, canopy_rot))
 
     # 7. canopy depth + 3D
     cu = jnp.round(canopy_px[0]).astype(jnp.int32)

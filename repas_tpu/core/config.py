@@ -103,6 +103,8 @@ class CanopyConfig:
     morph_kernel: int = 3
     depth_win: int = 5
     depth_fallback_win: int = 11
+    proc_decimate: int = 2   # run 2-D stages at 1/dec res (depth lookups
+                             # and 3-D math stay at full resolution)
 
 
 @dataclass(frozen=True)
