@@ -11,7 +11,7 @@ from pathlib import Path
 from repas_tpu.apps._common import log
 from repas_tpu.cloud.reconstruct import reconstruct_surface
 from repas_tpu.io.meta import write_meta
-from repas_tpu.io.ply import PointCloud, TriangleMesh, read_geometry, write_stl
+from repas_tpu.io.ply import TriangleMesh, read_geometry, write_stl
 
 
 def main(argv=None):

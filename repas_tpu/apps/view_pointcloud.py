@@ -15,7 +15,7 @@ import numpy as np
 
 from repas_tpu.apps._common import log
 from repas_tpu.io.ply import read_ply
-from repas_tpu.viz.scene import axes_points, plot_pointcloud, save_pointcloud_views
+from repas_tpu.viz.scene import axes_points, plot_pointcloud
 
 
 def main(argv=None):

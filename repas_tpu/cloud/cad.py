@@ -16,8 +16,6 @@ Host-side orchestration with on-device math, mirroring:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
-
 import numpy as np
 import jax.numpy as jnp
 

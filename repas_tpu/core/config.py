@@ -7,7 +7,7 @@ config tree. Defaults cite their reference origin.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 
 @dataclass(frozen=True)

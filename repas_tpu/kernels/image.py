@@ -10,8 +10,6 @@ tile-based adaptive threshold of the AprilTag C detector (N1).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
