@@ -41,21 +41,35 @@ class FusedPose:
     order_idx: jnp.ndarray    # (N,) winning corner order per tag
 
 
-@partial(jax.jit, static_argnames=("win",))
+@partial(jax.jit, static_argnames=("win", "try_all_orders"))
 def fuse_tag_poses(corners: jnp.ndarray, ids: jnp.ndarray,
                    areas: jnp.ndarray, valid: jnp.ndarray,
                    depth_m: jnp.ndarray, K, dist, tag_size_m,
                    anchor_id: int = 16,
                    flip_z_ids: jnp.ndarray | None = None,
-                   win: int = 5) -> FusedPose:
+                   win: int = 5, try_all_orders: bool = False) -> FusedPose:
     """corners (N,4,2) px, ids (N,), areas (N,), valid (N,) mask;
     depth_m (H,W) aligned to color. Invalid slots are ignored via masks.
+
+    try_all_orders runs the reference's 8-corner-order search (C3) — kept
+    for parity with corner sources of unknown order. The framework's own
+    detector canonicalizes corners to TL,TR,BR,BL during decode, so the
+    default solves the known order once (8x less PnP work).
     """
     n = corners.shape[0]
     K = jnp.asarray(K, jnp.float32)
 
-    solve = jax.vmap(lambda c: solve_pnp_best_order(c, K, dist, tag_size_m))
-    Rs, ts, errs, orders = solve(corners.astype(jnp.float32))
+    if try_all_orders:
+        solve = jax.vmap(
+            lambda c: solve_pnp_best_order(c, K, dist, tag_size_m))
+        Rs, ts, errs, orders = solve(corners.astype(jnp.float32))
+    else:
+        from repas_tpu.pose.pnp import solve_pnp_ippe_square
+
+        solve = jax.vmap(
+            lambda c: solve_pnp_ippe_square(c, K, dist, tag_size_m))
+        Rs, ts, errs = solve(corners.astype(jnp.float32))
+        orders = jnp.zeros(n, jnp.int32)
 
     # per-id flip fix (reference hardcodes tag 9)
     if flip_z_ids is None:

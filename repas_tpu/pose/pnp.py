@@ -172,22 +172,18 @@ def solve_pnp_ippe_square(img_corners: jnp.ndarray, K, dist, tag_size_m,
     Rs, ts = _ippe_from_homography(Hn)
     ts = ts * (jnp.asarray(tag_size_m, K.dtype) / 2.0)
 
-    # branch selection on the analytic solutions (both are exact up to
-    # noise, so pre-refine reprojection error picks reliably), then one
-    # GN polish — halves the refinement cost vs polishing both
-    def initial_score(R, t):
-        proj = project_points(obj, R, t, K, dist)
-        err = jnp.mean(jnp.linalg.norm(proj - img_corners, axis=-1))
-        return err + jnp.where(t[2] <= 0, 1e6, 0.0)
+    # polish BOTH analytic branches and pick by refined reprojection
+    # error: under corner noise the pre-refine errors of the two planar-
+    # ambiguity solutions overlap, so early selection flips branches
+    def polish(R, t):
+        rvec, t2, err = refine_pnp_gn(obj, img_corners, rodrigues_inv(R),
+                                      t, K, dist, iters=refine_iters)
+        return rvec, t2, err
 
-    sa = initial_score(Rs[0], ts[0])
-    sb = initial_score(Rs[1], ts[1])
-    pick_a = sa <= sb
-    R0 = jnp.where(pick_a, Rs[0], Rs[1])
-    t0 = jnp.where(pick_a, ts[0], ts[1])
-    rvec, t, err = refine_pnp_gn(obj, img_corners, rodrigues_inv(R0), t0,
-                                 K, dist, iters=refine_iters)
-    return rodrigues(rvec), t, err
+    rvs, ts2, errs = jax.vmap(polish)(Rs, ts)
+    scores = errs + jnp.where(ts2[:, 2] <= 0, 1e6, 0.0)
+    best = jnp.argmin(scores)
+    return rodrigues(rvs[best]), ts2[best], errs[best]
 
 
 # ---------------------------------------------------------------------------
