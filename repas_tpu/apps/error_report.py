@@ -45,6 +45,8 @@ def main(argv=None):
     ps.add_argument("--json", type=Path)
     ps.add_argument("--colored-out", type=Path,
                     help="write cloud colored by error (green->red)")
+    ps.add_argument("--color-scale", type=Path,
+                    help="write the colormap legend PNG (color_scale.png)")
     args = p.parse_args(argv)
 
     if args.cmd == "corr":
@@ -70,6 +72,9 @@ def main(argv=None):
     if args.colored_out:
         write_ply(args.colored_out,
                   PointCloud(points=cloud.points, colors=error_colormap(d)))
+    if args.color_scale:
+        from repas_tpu.viz.scene import save_color_scale
+        save_color_scale(args.color_scale)
     emit_json(rep, args.json)
     return rep
 

@@ -1,6 +1,9 @@
 from repas_tpu.viz.scene import (draw_detections, draw_reprojection_compare, plot_pointcloud,
                                  save_pointcloud_views, make_xy_grid_lines,
-                                 axes_points)
+                                 axes_points, sphere_points,
+                                 aabb_wireframe_segments, line_points,
+                                 save_color_scale)
 
 __all__ = ["draw_detections", "draw_reprojection_compare", "plot_pointcloud", "save_pointcloud_views",
-           "make_xy_grid_lines", "axes_points"]
+           "make_xy_grid_lines", "axes_points", "sphere_points",
+           "aabb_wireframe_segments", "line_points", "save_color_scale"]

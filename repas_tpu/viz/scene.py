@@ -92,6 +92,51 @@ def axes_points(size: float = 0.05, n: int = 20):
     return pts, cols
 
 
+def sphere_points(center, radius: float = 0.003, n: int = 64):
+    """Marker-sphere point set (sphere builder role,
+    april_tag_bg_removal_pl.py:214-270)."""
+    golden = np.pi * (3 - np.sqrt(5))
+    i = np.arange(n)
+    z = 1 - 2 * (i + 0.5) / n
+    r = np.sqrt(1 - z * z)
+    th = golden * i
+    pts = np.column_stack([r * np.cos(th), r * np.sin(th), z]) * radius
+    return pts + np.asarray(center)
+
+
+def aabb_wireframe_segments(lo, hi):
+    """12 edge segments of an axis-aligned box (AABB wireframe builder)."""
+    lo = np.asarray(lo)
+    hi = np.asarray(hi)
+    c = np.array([[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+                  [hi[0], hi[1], lo[2]], [lo[0], hi[1], lo[2]],
+                  [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+                  [hi[0], hi[1], hi[2]], [lo[0], hi[1], hi[2]]])
+    e = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+         (0, 4), (1, 5), (2, 6), (3, 7)]
+    return np.stack([np.stack([c[a], c[b]]) for a, b in e])
+
+
+def line_points(p0, p1, n: int = 32):
+    """Dense points along a segment (line builder role)."""
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    return np.asarray(p0)[None] * (1 - t) + np.asarray(p1)[None] * t
+
+
+def save_color_scale(path, max_mm: float = 30.0):
+    """Green->red error colormap legend (visualize_error.py color_scale.png)."""
+    plt = _plt()
+    t = np.linspace(0, 1, 256)
+    bar = np.stack([t, 1 - t, np.zeros_like(t)], axis=1)[None].repeat(24, 0)
+    fig, ax = plt.subplots(figsize=(6, 1.2))
+    ax.imshow(bar, extent=[0, max_mm, 0, 1], aspect="auto")
+    ax.set_yticks([])
+    ax.set_xlabel("error (mm)")
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+
+
 def make_xy_grid_lines(cell: float = 0.1, n: int = 20, z: float = 0.0):
     """Grid line segments [(p0,p1), ...] (make_xy_grid equivalent)."""
     extent = n * cell

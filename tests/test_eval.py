@@ -74,3 +74,18 @@ def test_reconstruct_sphere(rng):
     r = np.linalg.norm(mesh.vertices, axis=1)
     # reconstructed surface close to the true radius
     assert abs(np.median(r) - 0.1) < 0.015
+
+
+def test_viz_scene_builders(tmp_path):
+    from repas_tpu.viz.scene import (aabb_wireframe_segments, line_points,
+                                     save_color_scale, sphere_points)
+
+    s = sphere_points([1.0, 2.0, 3.0], radius=0.01, n=32)
+    np.testing.assert_allclose(
+        np.linalg.norm(s - [1, 2, 3], axis=1), 0.01, atol=1e-9)
+    w = aabb_wireframe_segments([0, 0, 0], [1, 2, 3])
+    assert w.shape == (12, 2, 3)
+    lp = line_points([0, 0, 0], [1, 0, 0], n=5)
+    np.testing.assert_allclose(lp[:, 0], [0, 0.25, 0.5, 0.75, 1.0])
+    save_color_scale(tmp_path / "scale.png")
+    assert (tmp_path / "scale.png").exists()
