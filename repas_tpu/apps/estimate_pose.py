@@ -31,6 +31,11 @@ def main(argv=None):
     p.add_argument("--tag-ids", type=int, nargs="*", default=[9, 16])
     p.add_argument("--anchor-id", type=int, default=16)
     p.add_argument("--flip-z-ids", type=int, nargs="*", default=[9])
+    p.add_argument("--layout", type=Path,
+                   help="known world layout JSON {tag_id: [x,y,z]} -> one "
+                        "multi-tag SQPnP bundle solve for the camera pose "
+                        "(mpe_final_view_tag_bundle_with_cad.py TAG_3D_"
+                        "POSITIONS semantics)")
     p.add_argument("--json", type=Path)
     args = p.parse_args(argv)
 
@@ -53,6 +58,41 @@ def main(argv=None):
         raise SystemExit(
             f"No requested tags {args.tag_ids} found. "
             f"Detected: {ids[np.asarray(det.valid)].tolist()}")
+
+    if args.layout:
+        import json as _json
+
+        import jax.numpy as _jnp
+
+        from repas_tpu.pose.bundle import solve_tag_bundle
+
+        layout = {int(k): v for k, v in
+                  _json.loads(args.layout.read_text()).items()}
+        n = len(ids)
+        centers_w = np.zeros((n, 3), np.float32)
+        bundle_valid = np.zeros(n, bool)
+        for i in range(n):
+            if valid[i] and int(ids[i]) in layout:
+                centers_w[i] = layout[int(ids[i])]
+                bundle_valid[i] = True
+        if not bundle_valid.any():
+            raise SystemExit(f"no detected tags in layout {sorted(layout)}")
+        R, t, err = solve_tag_bundle(
+            det.corners, det.centers, _jnp.asarray(bundle_valid),
+            _jnp.asarray(centers_w), args.tag_size,
+            intr.K.astype(np.float32),
+            _jnp.asarray(intr.dist, np.float32))
+        out = {
+            "mode": "bundle",
+            "tags_used": [int(i) for i in ids[bundle_valid]],
+            "R_world_to_camera": np.asarray(R).tolist(),
+            "t_world_to_camera": np.asarray(t).tolist(),
+            "reproj_err_px": float(err),
+        }
+        log.info("bundle solve over %d tags: reproj %.3f px",
+                 int(bundle_valid.sum()), float(err))
+        emit_json(out, args.json)
+        return out
 
     fused = fuse_tag_poses(
         det.corners, det.ids, det.areas, jnp.asarray(valid),
