@@ -147,6 +147,10 @@ bool read_file(const char* path, std::vector<uint8_t>* buf) {
   if (!f) return false;
   fseek(f, 0, SEEK_END);
   long n = ftell(f);
+  if (n < 0) {  // unseekable stream (pipe/fifo): ftell yields -1
+    fclose(f);
+    return false;
+  }
   fseek(f, 0, SEEK_SET);
   buf->resize(size_t(n));
   size_t got = fread(buf->data(), 1, size_t(n), f);

@@ -94,6 +94,48 @@ def grid_hash_query(gh: GridHash, target_pts: jnp.ndarray,
     return best_i, best_d
 
 
+class GridHash2(NamedTuple):
+    """Two-level grid: coarse guarantees the search radius, fine removes the
+    slot-exhaustion bias when cell >> point spacing (a 5 cm cell over a 5 mm
+    surface cloud holds ~100 points; keeping only `slots` of them biases NN
+    distances up). Queries scan both and keep the min — distances are exact,
+    so the union can only improve on either level alone."""
+
+    coarse: GridHash
+    fine: GridHash
+
+
+def grid2_build(pts: jnp.ndarray, mask: jnp.ndarray, radius,
+                coarse_dims: tuple = (64, 64, 64),
+                fine_dims: tuple = (96, 96, 96),
+                coarse_slots: int = 16, fine_slots: int = 8) -> GridHash2:
+    """Build both levels over the masked AABB. `radius` = correspondence
+    radius; coarse cell = radius (±1-cell reach covers it), fine cell =
+    radius/4 (≈ point spacing for the reference's 5 mm voxel / 5 cm ICP)."""
+    coarse_cell = jnp.asarray(radius, jnp.float32)
+    fine_cell = coarse_cell / 4.0
+    big = jnp.where(mask[:, None], pts, jnp.inf)
+    lo = jnp.min(big, axis=0)
+    return GridHash2(
+        coarse=grid_hash_build(pts, mask, lo - coarse_cell, coarse_cell,
+                               coarse_dims, coarse_slots),
+        fine=grid_hash_build(pts, mask, lo - fine_cell, fine_cell,
+                             fine_dims, fine_slots))
+
+
+def grid2_query(gh2: GridHash2, target_pts: jnp.ndarray,
+                query_pts: jnp.ndarray, query_mask: jnp.ndarray,
+                coarse_dims: tuple = (64, 64, 64),
+                fine_dims: tuple = (96, 96, 96)):
+    """1-NN over both levels; min-distance winner."""
+    ic, dc = grid_hash_query(gh2.coarse, target_pts, query_pts, query_mask,
+                             coarse_dims)
+    iff, df = grid_hash_query(gh2.fine, target_pts, query_pts, query_mask,
+                              fine_dims)
+    take_fine = df < dc
+    return (jnp.where(take_fine, iff, ic), jnp.where(take_fine, df, dc))
+
+
 def nearest_neighbors(target_pts: jnp.ndarray, target_mask: jnp.ndarray,
                       query_pts: jnp.ndarray, query_mask: jnp.ndarray,
                       cell: float, dims: tuple = (64, 64, 64),

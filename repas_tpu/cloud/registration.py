@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from repas_tpu.cloud.knn import grid_hash_build, grid_hash_query
+from repas_tpu.cloud.knn import grid2_build, grid2_query
 from repas_tpu.core.transforms import make_T, rodrigues
 
 
@@ -49,13 +49,15 @@ def icp_point_to_plane(src: jnp.ndarray, src_mask: jnp.ndarray,
     tgt = tgt.astype(f32)
     T0 = jnp.eye(4, dtype=f32) if T_init is None else jnp.asarray(T_init, f32)
 
-    cell = jnp.asarray(max_corr_dist, f32)
-    lo = jnp.min(jnp.where(tgt_mask[:, None], tgt, jnp.inf), axis=0) - cell
-    gh = grid_hash_build(tgt, tgt_mask, lo, cell, dims, slots)
+    # Two-level grid: coarse cell = max_corr_dist guarantees radius
+    # coverage; fine cell = max_corr_dist/4 keeps NN unbiased when the
+    # target is much denser than the radius (5 mm voxel vs 5 cm radius).
+    gh = grid2_build(tgt, tgt_mask, max_corr_dist, coarse_dims=dims,
+                     coarse_slots=4 * slots, fine_slots=2 * slots)
 
     def correspondences(T):
         p = src @ T[:3, :3].T + T[:3, 3]
-        nn, dist = grid_hash_query(gh, tgt, p, src_mask, dims)
+        nn, dist = grid2_query(gh, tgt, p, src_mask, coarse_dims=dims)
         ok = src_mask & (nn >= 0) & (dist <= max_corr_dist)
         q = tgt[jnp.maximum(nn, 0)]
         n = tgt_normals[jnp.maximum(nn, 0)]
@@ -105,11 +107,11 @@ def evaluate_registration(src, src_mask, tgt, tgt_mask, T,
     """Open3D evaluate_registration equivalent: fitness + inlier RMSE of a
     given transform."""
     f32 = jnp.float32
-    cell = jnp.asarray(max_corr_dist, f32)
-    lo = jnp.min(jnp.where(tgt_mask[:, None], tgt, jnp.inf), axis=0) - cell
-    gh = grid_hash_build(tgt.astype(f32), tgt_mask, lo, cell, dims)
+    gh = grid2_build(tgt.astype(f32), tgt_mask, max_corr_dist,
+                     coarse_dims=dims)
     p = src.astype(f32) @ jnp.asarray(T, f32)[:3, :3].T + jnp.asarray(T, f32)[:3, 3]
-    nn, dist = grid_hash_query(gh, tgt.astype(f32), p, src_mask, dims)
+    nn, dist = grid2_query(gh, tgt.astype(f32), p, src_mask,
+                           coarse_dims=dims)
     ok = src_mask & (nn >= 0) & (dist <= max_corr_dist)
     w = ok.astype(f32)
     m = jnp.maximum(jnp.sum(w), 1.0)

@@ -166,11 +166,14 @@ def average_rotations_quat(Rs: jnp.ndarray, weights: jnp.ndarray,
         w = jnp.where(mask, w, 0.0)
     w = w / (jnp.sum(w) + _EPS)
     Q = jax.vmap(R_to_quat)(Rs)  # (N,4)
-    if mask is not None:
-        # reference quaternion = first valid
-        first = jnp.argmax(mask.astype(jnp.int32))
-    else:
-        first = 0
+    # Masked slots may carry degenerate rotations (e.g. NaN from a singular
+    # PnP solve on an empty detection slot); 0-weight alone doesn't stop
+    # 0*NaN=NaN from poisoning the weighted sum — zero the quats themselves.
+    finite = jnp.all(jnp.isfinite(Q), axis=-1)
+    keep = finite if mask is None else (finite & mask)
+    Q = jnp.where(keep[:, None], Q, 0.0)
+    w = jnp.where(keep, w, 0.0)
+    first = jnp.argmax(keep.astype(jnp.int32))
     q_ref = Q[first]
     sign = jnp.where(jnp.sum(Q * q_ref, axis=-1, keepdims=True) < 0, -1.0, 1.0)
     Q = Q * sign

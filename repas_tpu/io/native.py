@@ -114,4 +114,9 @@ def read_png_batch(paths: Sequence, n_threads: int = 0
                                frame_bytes, statuses, n_threads)
     if any(statuses[i] != 0 for i in range(n)):
         return None
+    # same channel normalization as read_png: drop gray-alpha / rgba alpha
+    if c == 2:
+        return np.ascontiguousarray(out[..., 0])
+    if c == 4:
+        return np.ascontiguousarray(out[..., :3])
     return out

@@ -93,7 +93,11 @@ def deproject_pixels(uv: jnp.ndarray, depth: jnp.ndarray, K, dist=None,
     K = jnp.asarray(K)
     uv = jnp.asarray(uv)
     depth = jnp.asarray(depth)
-    if dist is not None and bool(jnp.any(jnp.asarray(dist) != 0.0)):
+    # The dist-vs-None branch must be static: bool(jnp.any(...)) on a traced
+    # array raises TracerBoolConversionError under jit/vmap. The fixed-point
+    # undistort is the identity at zero coefficients, so always run it when
+    # a dist argument is given.
+    if dist is not None:
         xy = undistort_points(uv, K, dist, iters=undistort_iters)
     else:
         fx, fy = K[0, 0], K[1, 1]

@@ -78,7 +78,20 @@ def fuse_tag_poses(corners: jnp.ndarray, ids: jnp.ndarray,
     Rs = jnp.where(needs_flip[:, None, None],
                    jax.vmap(flip_z_180)(Rs), Rs)
 
+    # Invalid slots carry degenerate corners (4 identical points); the
+    # IPPE solve goes singular and returns NaN R/t/err. Sanitize before any
+    # arithmetic so NaN never leaks into weights, averaging, or anchors.
+    finite = (jnp.all(jnp.isfinite(Rs), axis=(1, 2))
+              & jnp.all(jnp.isfinite(ts), axis=1)
+              & jnp.isfinite(errs))
+    valid = valid & finite
+    Rs = jnp.where(valid[:, None, None], Rs, jnp.eye(3, dtype=Rs.dtype))
+    ts = jnp.where(valid[:, None], ts,
+                   jnp.asarray([0.0, 0.0, 1.0], ts.dtype))
+    errs = jnp.where(valid, errs, 1e9)
+
     weights = jnp.maximum(areas, 1e-3) / jnp.maximum(errs, 1e-3)
+    weights = jnp.where(valid, weights, 0.0)
 
     # depth-corrected positions
     Pd, Pd_valid = jax.vmap(

@@ -159,3 +159,38 @@ def test_tag_bundle(rng):
     np.testing.assert_allclose(np.asarray(t_hat), t, atol=1e-3)
     R_true = np.asarray(rodrigues(jnp.asarray(rvec)))
     assert float(rotation_angle_deg(jnp.asarray(R_true), R)) < 0.1
+
+
+def test_fusion_finite_with_empty_slots(rng):
+    """Regression (ADVICE r1, high): invalid detection slots carry degenerate
+    corners; the singular IPPE solve yields NaN which must not leak into
+    R_avg / weights / anchors when fewer tags than max_detections are found."""
+    from repas_tpu.pose.fusion import fuse_tag_poses
+
+    rvec, t = synth_pose(rng)
+    img = np.asarray(project_corners(rvec, t))
+    n = 4  # capacity 4, only 1 valid
+    corners = np.zeros((n, 4, 2), np.float32)
+    corners[0] = img
+    ids = np.array([16, -1, -1, -1], np.int32)
+    areas = np.array([900.0, 0, 0, 0], np.float32)
+    valid = np.array([True, False, False, False])
+    depth_m = np.full((120, 160), float(t[2]), np.float32)
+    Ks = np.array([[96.0, 0, 80], [0, 96.0, 60], [0, 0, 1]], np.float32)
+    # reproject with the small-K camera so corners land inside depth_m
+    obj = square_object_points(TAG)
+    corners[0] = np.asarray(project_points(
+        obj, jnp.asarray(rvec), jnp.asarray(t), Ks, DIST0))
+    pose = fuse_tag_poses(jnp.asarray(corners), jnp.asarray(ids),
+                          jnp.asarray(areas), jnp.asarray(valid),
+                          jnp.asarray(depth_m), Ks, DIST0, TAG)
+    for name in ("R_avg", "anchor_t", "anchor_P_depth", "R", "t",
+                 "P_depth", "weights", "err_px"):
+        arr = np.asarray(getattr(pose, name))
+        assert np.isfinite(arr).all(), f"{name} has non-finite values: {arr}"
+    # the single valid tag defines the average exactly
+    R_true = np.asarray(rodrigues(jnp.asarray(rvec)))
+    assert float(rotation_angle_deg(jnp.asarray(R_true), pose.R_avg)) < 0.2
+    assert int(pose.anchor_idx) == 0
+    # masked slots carry zero weight
+    assert np.asarray(pose.weights)[1:].max() == 0.0
