@@ -16,6 +16,17 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize hook may have pre-imported jax at interpreter
+# startup and called jax.config.update("jax_platforms", "axon,cpu"),
+# which overrides the env var above. Force the config back (backends are
+# not initialized yet at conftest import, so this takes effect).
+import sys  # noqa: E402
+
+if "jax" in sys.modules and not os.environ.get("REPAS_TEST_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/repas_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
