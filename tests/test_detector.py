@@ -104,3 +104,24 @@ def test_decision_margin_threshold():
                                      ccl_iters=16, min_decision_margin=50.0))
     # margin of a 20-gray-level tag is ~10 < 50 -> rejected
     assert not bool(np.asarray(det.valid).any())
+
+
+def test_codebook_family_property_and_loader():
+    """The embedded tag36h11 prefix satisfies the family's min-hamming-11
+    bound under all rotations, and the loader roundtrips C-source / text
+    codeword tables (the drop-in path for the full 587-entry family)."""
+    import io
+
+    from repas_tpu.detect import tag_families as tf
+
+    assert tf.validate_codebook(tf.TAG36H11_CODES) == tf.MIN_HAMMING
+    csrc = io.StringIO(",\n".join(f"0x{c:016x}UL" for c in tf.TAG36H11_CODES))
+    assert tf.load_codebook(csrc) == list(tf.TAG36H11_CODES)
+    txt = io.StringIO("\n".join(hex(c) for c in tf.TAG36H11_CODES[:7]))
+    assert tf.load_codebook(txt) == list(tf.TAG36H11_CODES[:7])
+    with pytest.raises(ValueError):
+        tf.load_codebook([1 << 40])
+    # a corrupted entry (2 bits flipped on code 0) violates the family bound
+    bad = list(tf.TAG36H11_CODES) + [tf.TAG36H11_CODES[0] ^ 0b11]
+    with pytest.raises(ValueError):
+        tf.validate_codebook(bad)
