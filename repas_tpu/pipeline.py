@@ -33,14 +33,25 @@ class FrameResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("config", "with_pointcloud"))
 def process_frame(rgb: jnp.ndarray, depth_u16: jnp.ndarray, K,
                   config: PipelineConfig = PipelineConfig(),
-                  with_pointcloud: bool = True) -> FrameResult:
-    """rgb (H,W,3) uint8, depth_u16 (H,W) uint16 aligned to color, K (3,3)."""
+                  with_pointcloud: bool = True, dist=None) -> FrameResult:
+    """rgb (H,W,3) uint8, depth_u16 (H,W) uint16 aligned to color, K (3,3).
+
+    dist: optional distortion coefficients (k1,k2,p1,p2,k3[,k4,k5,k6]) as
+    produced by checkerboard calibration (checkerboard_callibration.py
+    coeffs usage :241-255); None means an undistorted camera (factory
+    RealSense/Femto color streams ship ~zero coeffs)."""
     K = jnp.asarray(K, jnp.float32)
+    if dist is None:
+        dist = jnp.zeros(8, jnp.float32)
+    else:
+        dist = jnp.asarray(dist, jnp.float32).reshape(-1)[:8]
+        dist = jnp.concatenate(
+            [dist, jnp.zeros(8 - dist.shape[0], jnp.float32)])
     det = detect_tags(rgb, config.detector)
     depth_m = depth_to_meters(depth_u16, config.depth.depth_scale)
     pose = fuse_tag_poses(
         det.corners, det.ids, det.areas, det.valid, depth_m, K,
-        jnp.zeros(8, jnp.float32), config.pnp.tag_size_m,
+        dist, config.pnp.tag_size_m,
         anchor_id=config.anchor_id,
         flip_z_ids=jnp.asarray(config.cad.flip_z_tag_ids, jnp.int32),
         win=config.depth.center_win)
@@ -54,8 +65,8 @@ def process_frame(rgb: jnp.ndarray, depth_u16: jnp.ndarray, K,
 
 def process_frames(rgbs, depths_u16, K,
                    config: PipelineConfig = PipelineConfig(),
-                   with_pointcloud: bool = True) -> FrameResult:
+                   with_pointcloud: bool = True, dist=None) -> FrameResult:
     """Batched pipeline over (B,H,W,3)/(B,H,W)."""
     return jax.vmap(
-        lambda r, d: process_frame(r, d, K, config, with_pointcloud)
+        lambda r, d: process_frame(r, d, K, config, with_pointcloud, dist)
     )(rgbs, depths_u16)
