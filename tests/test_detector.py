@@ -125,3 +125,54 @@ def test_codebook_family_property_and_loader():
     bad = list(tf.TAG36H11_CODES) + [tf.TAG36H11_CODES[0] ^ 0b11]
     with pytest.raises(ValueError):
         tf.validate_codebook(bad)
+
+
+@pytest.mark.parametrize("tid", [18, 100, 300, 586])
+def test_detect_full_family_ids(tid):
+    """Every id in the full 587-code family decodes (VERDICT r1 item 2).
+
+    Id 18 doubles as the regression test for the round-1 transcription
+    error (0x6be4a132a -> 0x6be4a7211)."""
+    img = render_tag(tid, cell_px=16)
+    det = detect_tags(jnp.asarray(img), CFG)
+    assert bool(det.valid[0])
+    assert int(det.ids[0]) == tid
+    assert int(det.hamming[0]) == 0
+
+
+def test_full_family_structure():
+    """Structural provenance gates for the full table: size 587, the
+    AprilTag generator's PRIME-stride candidate progression (strictly
+    increasing scan order — pins every code's canonical rotation), and
+    the h=11 family property."""
+    from repas_tpu.detect import tag_families as tf
+
+    codes = [int(c) for c in tf.TAG36H11_CODES]
+    assert len(codes) == tf.FAMILY_SIZE == 587
+    prime, mod = 982451653, 1 << 36
+    inv = pow(prime, -1, mod)
+    ks = [((c - codes[0]) * inv) % mod for c in codes]
+    assert all(a < b for a, b in zip(ks, ks[1:]))
+    assert tf.validate_codebook(codes) == tf.MIN_HAMMING
+
+
+def test_cross_validate_against_opencv_dictionary():
+    """Independent cross-check: OpenCV's bundled DICT_APRILTAG_36h11
+    renders every marker; reading its 6x6 grid (180-degree rotation maps
+    aruco's stored orientation to the canonical one) must reproduce our
+    table bit-for-bit. Skipped where cv2 is unavailable."""
+    cv2 = pytest.importorskip("cv2")
+    if not hasattr(cv2, "aruco"):
+        pytest.skip("cv2 built without aruco")
+    from repas_tpu.detect import tag_families as tf
+
+    d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
+    s = 8
+    rng = np.random.default_rng(0)
+    ids = [0, 16, 18, 36, 100, 250, 586] + rng.integers(0, 587, 8).tolist()
+    for tid in ids:
+        img = cv2.aruco.generateImageMarker(d, int(tid), 8 * s)
+        g = (img.reshape(8, s, 8, s).mean(axis=(1, 3))[1:7, 1:7] > 127)
+        code = int("".join("1" if b else "0"
+                           for b in np.rot90(g, 2).reshape(-1)), 2)
+        assert code == int(tf.TAG36H11_CODES[tid]), f"id {tid} mismatch"
