@@ -1,7 +1,9 @@
 from repas_tpu.cloud.filters import (radius_mask, statistical_outlier_mask,
                                      voxel_downsample)
 from repas_tpu.cloud.normals import estimate_normals
-from repas_tpu.cloud.knn import grid_hash_build, grid_hash_query, nearest_neighbors
+from repas_tpu.cloud.knn import (grid_hash_build, grid_hash_query,
+                                 grid_hash_query_knn, knn_neighbors,
+                                 nearest_neighbors)
 from repas_tpu.cloud.crop import tag_frame_aabb_crop, aabb_mask, obb_from_tag
 from repas_tpu.cloud.generate import create_masked_pointcloud
 
@@ -9,5 +11,5 @@ __all__ = [
     "radius_mask", "statistical_outlier_mask", "voxel_downsample",
     "estimate_normals", "grid_hash_build", "grid_hash_query",
     "nearest_neighbors", "tag_frame_aabb_crop", "aabb_mask", "obb_from_tag",
-    "create_masked_pointcloud",
+    "create_masked_pointcloud", "grid_hash_query_knn", "knn_neighbors",
 ]

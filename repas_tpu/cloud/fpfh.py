@@ -5,9 +5,10 @@ Open3D's compute_fpfh_feature + registration_ransac_based_on_feature_matching
 
   * FPFH: per-point SPFH (Darboux-frame angle triplet histograms, 11 bins
     per angle = 33 dims) over k nearest neighbors, then the standard
-    neighbor-weighted sum. Neighbor search via one (N,S) MXU distance
-    matrix against a subsample.
-  * Feature matching: one (N,M) feature-distance matmul + argmin.
+    neighbor-weighted sum. Neighbor search via grid-hash k-NN over the
+    full cloud (scales to the reference's 100k-1M point workloads).
+  * Feature matching: feature-distance matmuls + argmin, chunked over
+    source rows (lax.map) so memory stays bounded at any cloud size.
   * RANSAC: thousands of 3-point hypotheses evaluated as a single vmapped
     batch (Kabsch solve + edge-length/distance checkers + inlier count) —
     hypothesis evaluation is exactly the kind of embarrassing parallelism
@@ -22,39 +23,36 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("k", "sample", "bins"))
+@functools.partial(jax.jit, static_argnames=("k", "bins", "dims", "slots"))
 def fpfh_features(pts: jnp.ndarray, normals: jnp.ndarray,
                   mask: jnp.ndarray, radius: float,
-                  k: int = 32, sample: int = 2048, bins: int = 11,
-                  key=None) -> jnp.ndarray:
-    """(N,33) FPFH descriptors (zero rows where mask is False)."""
-    if key is None:
-        key = jax.random.PRNGKey(2)
-    n = pts.shape[0]
-    sample = min(sample, n)
-    probs = mask.astype(jnp.float32)
-    probs = probs / jnp.maximum(jnp.sum(probs), 1.0)
-    idx = jax.random.choice(key, n, shape=(sample,), p=probs,
-                            replace=False)
-    ref = pts[idx]
-    ref_n = normals[idx]
-    ref_ok = mask[idx]
+                  k: int = 32, bins: int = 11,
+                  dims: tuple = (48, 48, 48), slots: int = 48
+                  ) -> jnp.ndarray:
+    """(N,33) FPFH descriptors (zero rows where mask is False).
 
-    d2 = (jnp.sum(pts * pts, axis=1, keepdims=True)
-          - 2.0 * pts @ ref.T + jnp.sum(ref * ref, axis=1)[None, :])
-    d2 = jnp.where(ref_ok[None, :], jnp.maximum(d2, 0.0), jnp.inf)
-    neg, nn = jax.lax.top_k(-d2, k + 1)
-    nn = nn[:, 1:]                     # drop self
-    nd2 = -neg[:, 1:]
-    within = nd2 <= radius * radius
+    Neighborhoods come from a grid-hash k-NN over the FULL cloud (no
+    global subsample — the r1 2048-point shortcut mis-scaled
+    neighborhoods on reference-size clouds, icp_cad_model.py:38-42
+    samples 1M points). Cost: O(N * 27 * slots) candidate distances +
+    one (N, k) SPFH gather; scales to 100k+ points on both backends.
+    """
+    from repas_tpu.cloud.knn import knn_neighbors
 
-    p2 = ref[nn]                       # (N,k,3) neighbor positions
-    n2 = ref_n[nn]                     # (N,k,3) neighbor normals
+    idx, dist = knn_neighbors(pts, mask, radius, k + 1,
+                              dims=dims, slots=slots)
+    nn = idx[:, 1:]                    # drop self (nearest)
+    dist = dist[:, 1:]
+    within = (dist <= radius) & (nn >= 0)
+    nn_s = jnp.maximum(nn, 0)
+
+    p2 = pts[nn_s]                     # (N,k,3) neighbor positions
+    n2 = normals[nn_s]                 # (N,k,3) neighbor normals
     p1 = pts[:, None, :]
     n1 = normals[:, None, :]
 
     dvec = p2 - p1
-    dist = jnp.linalg.norm(dvec, axis=-1) + 1e-12
+    dist = jnp.where(within, dist, 1.0) + 1e-12
     d_hat = dvec / dist[..., None]
 
     # Darboux frame (u,v,w) at the source point
@@ -80,25 +78,39 @@ def fpfh_features(pts: jnp.ndarray, normals: jnp.ndarray,
     cnt = jnp.maximum(jnp.sum(within, axis=1), 1.0)
     spfh = spfh / cnt[:, None]
 
-    # FPFH = SPFH(p) + (1/k) sum_j SPFH(j)/dist_j ; neighbors' SPFH taken
-    # from the subsample's own rows
-    spfh_ref = spfh[idx]
+    # FPFH = SPFH(p) + (1/k) sum_j SPFH(j)/dist_j over the true neighbors
     wgt = jnp.where(within, 1.0 / dist, 0.0)
-    neigh = jnp.einsum("nk,nkf->nf", wgt, spfh_ref[nn]) / cnt[:, None]
+    neigh = jnp.einsum("nk,nkf->nf", wgt, spfh[nn_s]) / cnt[:, None]
     fpfh = spfh + neigh
     return jnp.where(mask[:, None], fpfh, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def match_features(feat_src: jnp.ndarray, src_mask: jnp.ndarray,
-                   feat_tgt: jnp.ndarray, tgt_mask: jnp.ndarray):
-    """Nearest-neighbor feature correspondence src->tgt (argmin over one
-    feature-distance matmul). Returns (idx (N,), dist (N,))."""
-    d2 = (jnp.sum(feat_src ** 2, axis=1, keepdims=True)
-          - 2.0 * feat_src @ feat_tgt.T
-          + jnp.sum(feat_tgt ** 2, axis=1)[None, :])
-    d2 = jnp.where(tgt_mask[None, :], d2, jnp.inf)
-    j = jnp.argmin(d2, axis=1)
-    d = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+                   feat_tgt: jnp.ndarray, tgt_mask: jnp.ndarray,
+                   chunk: int = 1024):
+    """Nearest-neighbor feature correspondence src->tgt, chunked over
+    source rows so the (N,M) distance matrix never materializes whole
+    (100k x 100k would be 40 GB; each chunk is chunk x M).
+    Returns (idx (N,), dist (N,))."""
+    n = feat_src.shape[0]
+    tgt_sq = jnp.sum(feat_tgt ** 2, axis=1)
+    n_chunks = (n + chunk - 1) // chunk
+    pad = n_chunks * chunk - n
+    fs = jnp.concatenate([feat_src, jnp.zeros((pad, feat_src.shape[1]),
+                                              feat_src.dtype)])
+
+    def one_chunk(fchunk):
+        d2 = (jnp.sum(fchunk ** 2, axis=1, keepdims=True)
+              - 2.0 * fchunk @ feat_tgt.T + tgt_sq[None, :])
+        d2 = jnp.where(tgt_mask[None, :], d2, jnp.inf)
+        j = jnp.argmin(d2, axis=1)
+        d = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+        return j, d
+
+    j, d = jax.lax.map(one_chunk, fs.reshape(n_chunks, chunk, -1))
+    j = j.reshape(-1)[:n]
+    d = d.reshape(-1)[:n]
     return jnp.where(src_mask, j, -1), jnp.where(src_mask, d, jnp.inf)
 
 

@@ -149,3 +149,75 @@ def nearest_neighbors(target_pts: jnp.ndarray, target_mask: jnp.ndarray,
     lo = jnp.min(big, axis=0) - cell
     gh = grid_hash_build(target_pts, target_mask, lo, cell, dims, slots)
     return grid_hash_query(gh, target_pts, query_pts, query_mask, dims)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "k", "chunk"))
+def grid_hash_query_knn(gh: GridHash, target_pts: jnp.ndarray,
+                        query_pts: jnp.ndarray, query_mask: jnp.ndarray,
+                        dims: tuple, k: int, chunk: int = 8192):
+    """k-NN search over the 27-cell neighborhood (27*slots candidates per
+    query, one top_k). Queries are processed in chunks of `chunk` rows so
+    the (chunk, 27*slots, 3) gather stays memory-bounded at any Q.
+    Returns (idx (Q,k) int32 [-1 pad], dist (Q,k) f32 [inf pad]), nearest
+    first. Self-matches are NOT excluded."""
+    nx, ny, nz = dims
+    nq = query_pts.shape[0]
+    slots = gh.cell_of.shape[0]
+    kk = min(k, 27 * slots)
+
+    def chunk_fn(args):
+        qpts, qmask = args
+        ijk = jnp.floor((qpts - gh.origin) / gh.cell).astype(jnp.int32)
+        cand = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    q = ijk + jnp.asarray([dx, dy, dz], jnp.int32)
+                    inb = jnp.all(
+                        (q >= 0) & (q < jnp.asarray(dims, jnp.int32)),
+                        axis=1)
+                    qc = (q[:, 0] * ny + q[:, 1]) * nz + q[:, 2]
+                    qc = jnp.where(inb, qc, 0)
+                    for s in range(slots):
+                        pi = gh.cell_of[s][qc]
+                        cand.append(jnp.where(inb & (pi >= 0), pi, -1))
+        cand = jnp.stack(cand, axis=1)                    # (C, 27*slots)
+        diff = target_pts[jnp.maximum(cand, 0)] - qpts[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.where(cand >= 0, d2, jnp.inf)
+        neg, col = jax.lax.top_k(-d2, kk)
+        idx = jnp.take_along_axis(cand, col, axis=1)
+        dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        dist = jnp.where((idx >= 0) & qmask[:, None], dist, jnp.inf)
+        idx = jnp.where((idx >= 0) & qmask[:, None], idx, -1)
+        return idx, dist
+
+    n_chunks = (nq + chunk - 1) // chunk
+    pad_q = n_chunks * chunk - nq
+    qp = jnp.concatenate([query_pts,
+                          jnp.zeros((pad_q, 3), query_pts.dtype)])
+    qm = jnp.concatenate([query_mask, jnp.zeros(pad_q, bool)])
+    idx, dist = jax.lax.map(
+        chunk_fn, (qp.reshape(n_chunks, chunk, 3),
+                   qm.reshape(n_chunks, chunk)))
+    idx = idx.reshape(-1, kk)[:nq]
+    dist = dist.reshape(-1, kk)[:nq]
+    if kk < k:                                            # pad to k
+        padn = k - kk
+        idx = jnp.concatenate(
+            [idx, jnp.full((nq, padn), -1, idx.dtype)], axis=1)
+        dist = jnp.concatenate(
+            [dist, jnp.full((nq, padn), jnp.inf, dist.dtype)], axis=1)
+    return idx, dist
+
+
+def knn_neighbors(pts: jnp.ndarray, mask: jnp.ndarray, radius: float,
+                  k: int, dims: tuple = (48, 48, 48), slots: int = 48):
+    """Self k-NN of a cloud over a grid sized so one cell ~ the search
+    radius (the SPFH/normal-estimation workhorse at full cloud scale —
+    no global subsample, VERDICT r1 item 10)."""
+    big = jnp.where(mask[:, None], pts, jnp.inf)
+    lo = jnp.min(big, axis=0) - radius
+    gh = grid_hash_build(pts, mask, lo, jnp.asarray(radius, jnp.float32),
+                         dims, slots)
+    return grid_hash_query_knn(gh, pts, pts, mask, dims, k)
