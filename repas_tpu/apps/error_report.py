@@ -21,7 +21,7 @@ import numpy as np
 from repas_tpu.apps._common import emit_json, log
 from repas_tpu.eval.reports import (correspondence_report, error_colormap,
                                     load_picked_points,
-                                    point_to_mesh_distances,
+                                    point_to_mesh_signed_distances,
                                     surface_error_report)
 from repas_tpu.io.ply import PointCloud, read_geometry, read_ply, write_ply
 
@@ -62,7 +62,10 @@ def main(argv=None):
 
     cloud = read_ply(args.cloud)
     mesh = read_geometry(args.mesh)
-    d = np.asarray(point_to_mesh_distances(
+    # signed (negative inside), like the reference's RaycastingScene path
+    # (visualize_error.py:29-39); stats/colors use the magnitude, the txt
+    # report adds the signed bias / inside-outside split
+    d = np.asarray(point_to_mesh_signed_distances(
         jnp.asarray(cloud.points, jnp.float32),
         jnp.asarray(mesh.vertices, jnp.float32),
         jnp.asarray(mesh.triangles, jnp.int32)))

@@ -193,11 +193,70 @@ def point_to_mesh_distances(pts: jnp.ndarray, verts: jnp.ndarray,
     return jnp.sqrt(best)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def point_to_mesh_signed_distances(pts: jnp.ndarray, verts: jnp.ndarray,
+                                   tris: jnp.ndarray, chunk: int = 256):
+    """Exact SIGNED point-to-mesh distances: negative inside, positive
+    outside — the convention of Open3D RaycastingScene's
+    compute_signed_distance the reference uses (visualize_error.py:29-39).
+
+    The sign is the plane side of the nearest triangle (its outward
+    normal, assuming consistent CCW winding). For watertight CAD meshes
+    this matches the raycasting sign except exactly on sharp concave
+    edges, where either sign is defensible.
+    """
+    a = verts[tris[:, 0]]
+    b = verts[tris[:, 1]]
+    c = verts[tris[:, 2]]
+    nrm = jnp.cross(b - a, c - a)
+    nrm = nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-30)
+    nf = a.shape[0]
+    n_chunks = (nf + chunk - 1) // chunk
+    pad = n_chunks * chunk - nf
+    big = 1e30
+    a = jnp.concatenate([a, jnp.full((pad, 3), big, a.dtype)])
+    b = jnp.concatenate([b, jnp.full((pad, 3), big, b.dtype)])
+    c = jnp.concatenate([c, jnp.full((pad, 3), big, c.dtype)])
+    nrm = jnp.concatenate([nrm, jnp.zeros((pad, 3), nrm.dtype)])
+
+    dist_fn = jax.vmap(jax.vmap(_point_tri_dist2, (None, 0, 0, 0)),
+                       (0, None, None, None))
+
+    def body(i, carry):
+        best_d2, best_sign = carry
+        sl = jax.lax.dynamic_slice_in_dim
+        aa = sl(a, i * chunk, chunk)
+        bb = sl(b, i * chunk, chunk)
+        cc = sl(c, i * chunk, chunk)
+        nn = sl(nrm, i * chunk, chunk)
+        d2 = dist_fn(pts, aa, bb, cc)             # (N, chunk)
+        idx = jnp.argmin(d2, axis=1)
+        dmin = jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+        side = jnp.sum((pts - aa[idx]) * nn[idx], axis=-1)
+        s = jnp.where(side < 0, -1.0, 1.0).astype(jnp.float32)
+        upd = dmin < best_d2
+        return (jnp.where(upd, dmin, best_d2),
+                jnp.where(upd, s, best_sign))
+
+    best_d2, best_sign = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.full(pts.shape[0], jnp.inf, jnp.float32),
+         jnp.ones(pts.shape[0], jnp.float32)))
+    return best_sign * jnp.sqrt(best_d2)
+
+
 def surface_error_report(dist_m: np.ndarray, txt_path=None, png_path=None,
                          units_to_mm: float = 1000.0) -> dict:
     """Percentile stats + quality buckets + optional histogram/CDF PNG
-    (visualize_error.py:95-193)."""
-    d = np.asarray(dist_m, dtype=np.float64) * units_to_mm
+    (visualize_error.py:95-193).
+
+    `dist_m` may be signed (point_to_mesh_signed_distances): magnitude
+    stats follow the reference (it takes abs of RaycastingScene's signed
+    output, visualize_error.py:36); a signed section (mean bias,
+    inside/outside split) is added whenever negatives are present."""
+    d_signed = np.asarray(dist_m, dtype=np.float64) * units_to_mm
+    d = np.abs(d_signed)
     pct = {p: float(np.percentile(d, p)) for p in (5, 25, 50, 75, 90, 95, 99)}
     buckets = {
         "under_5mm": float((d < 5).mean()),
@@ -216,6 +275,15 @@ def surface_error_report(dist_m: np.ndarray, txt_path=None, png_path=None,
         "percentiles_mm": pct,
         "quality_distribution": buckets,
     }
+    if (d_signed < 0).any():
+        report["signed"] = {
+            "mean_signed_mm": float(d_signed.mean()),
+            "median_signed_mm": float(np.median(d_signed)),
+            "inside_fraction": float((d_signed < 0).mean()),
+            "outside_fraction": float((d_signed > 0).mean()),
+            "p05_signed_mm": float(np.percentile(d_signed, 5)),
+            "p95_signed_mm": float(np.percentile(d_signed, 95)),
+        }
     if txt_path:
         lines = ["=" * 64, "POINT-TO-SURFACE ALIGNMENT ERROR", "=" * 64,
                  f"points analyzed: {report['count']}",
@@ -230,6 +298,15 @@ def surface_error_report(dist_m: np.ndarray, txt_path=None, png_path=None,
         lines.append("")
         for k, v in buckets.items():
             lines.append(f"  {k}: {100*v:.1f}%")
+        if "signed" in report:
+            s = report["signed"]
+            lines += ["", "signed (negative = inside the surface):",
+                      f"  mean bias: {s['mean_signed_mm']:+.3f} mm",
+                      f"  median:    {s['median_signed_mm']:+.3f} mm",
+                      f"  inside / outside: {100*s['inside_fraction']:.1f}%"
+                      f" / {100*s['outside_fraction']:.1f}%",
+                      f"  p05 / p95: {s['p05_signed_mm']:+.3f} /"
+                      f" {s['p95_signed_mm']:+.3f} mm"]
         lines.append("=" * 64)
         Path(txt_path).parent.mkdir(parents=True, exist_ok=True)
         Path(txt_path).write_text("\n".join(lines) + "\n")
@@ -256,7 +333,8 @@ def surface_error_report(dist_m: np.ndarray, txt_path=None, png_path=None,
 
 
 def error_colormap(dist_m: np.ndarray, max_mm: float = 30.0) -> np.ndarray:
-    """Green -> red colormap on distances (visualize_error.py:55-93).
+    """Green -> red colormap on distance magnitudes (visualize_error.py:55-93;
+    the reference also colors by abs of the signed distance).
     Returns (N,3) float colors in [0,1]."""
-    t = np.clip(np.asarray(dist_m) * 1000.0 / max_mm, 0.0, 1.0)
+    t = np.clip(np.abs(np.asarray(dist_m)) * 1000.0 / max_mm, 0.0, 1.0)
     return np.stack([t, 1.0 - t, np.zeros_like(t)], axis=1)
