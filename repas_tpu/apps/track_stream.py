@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--robust", action="store_true",
                    help="per-frame enhancement retry ladder (CLAHE/gamma, "
                         "the reference's recipe for hard frames); slower")
+    p.add_argument("--temporal", action="store_true",
+                   help="register-then-track with a pose prior: detect in "
+                        "a small ROI around the predicted tag and GN-refine "
+                        "the previous pose (run_custom.py:33-76 shape); "
+                        "falls back to full detection on track loss")
     args = p.parse_args(argv)
 
     rb = ReplayBackend(args.source, loop=args.loop)
@@ -51,11 +56,34 @@ def main(argv=None):
         args.out.parent.mkdir(parents=True, exist_ok=True)
         out_f = open(args.out, "w")
 
+    tracker = None
     n = 0
     try:
         for frame in rb.frames():
             h, w = frame.color.shape[:2]
             intr = resolve_intrinsics(args, w, h)
+            if args.temporal:
+                from repas_tpu.pose.track import TagTracker, TrackerConfig
+                if tracker is None:
+                    tracker = TagTracker(
+                        intr.K.astype(np.float32), tag_size=args.tag_size,
+                        config=TrackerConfig(robust_register=args.robust))
+                res = tracker.step(frame.color)
+                rec = {
+                    "frame": n, "timestamp": frame.timestamp,
+                    "mode": res.mode, "ok": bool(res.ok),
+                    "tag_id": int(res.tag_id),
+                    "R": np.asarray(res.R).tolist(),
+                    "t": np.asarray(res.t).tolist(),
+                    "err_px": float(res.err_px),
+                }
+                if out_f:
+                    out_f.write(json.dumps(rec) + "\n")
+                fps.tick()
+                n += 1
+                if args.frames and n >= args.frames:
+                    break
+                continue
             depth_m = frame.depth_meters()
             if depth_m is None:
                 depth_u16 = np.zeros((h, w), np.uint16)

@@ -1,0 +1,72 @@
+"""Register-then-track temporal pose streaming (VERDICT r1 item 7;
+reference shapes: run_custom.py:33-76 register-then-track,
+realtime_pose_estimation_april_tag.py:73-76 streaming PnP)."""
+import numpy as np
+import jax.numpy as jnp
+
+from repas_tpu.core.transforms import rodrigues
+from repas_tpu.detect.render import render_tag_in_scene
+from repas_tpu.pose.track import TagTracker, TrackerConfig
+
+K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]], np.float32)
+SHAPE = (480, 640)
+TAG = 0.06
+# slightly tilted pose + odd supersample: axis-aligned edges under an even
+# box filter carry a systematic half-pixel phase bias (measured 8.5 mm at
+# ss=2/4 fronto-parallel vs 0.3-0.6 mm tilted/ss=3)
+R_TILT = np.asarray(rodrigues(jnp.asarray(
+    np.array([0.2, -0.15, 0.05], np.float32))))
+
+
+def _scene(tag_id, t):
+    return render_tag_in_scene(tag_id, R_TILT, np.asarray(t, np.float32),
+                               K, TAG, SHAPE, supersample=3)
+
+
+def test_register_then_track_follows_motion():
+    tr = TagTracker(K, tag_size=TAG, config=TrackerConfig(roi=256))
+    modes = []
+    for i in range(6):
+        t = np.array([0.02 * i - 0.05, 0.01 * i, 0.5 + 0.01 * i],
+                     np.float32)
+        res = tr.step(jnp.asarray(_scene(5, t)))
+        modes.append(res.mode)
+        assert res.ok, f"frame {i} lost ({res.mode}, err {res.err_px})"
+        assert np.linalg.norm(res.t - t) < 3e-3, f"frame {i}: {res.t} vs {t}"
+    assert modes[0] == "register"
+    assert all(m == "track" for m in modes[1:]), modes
+
+
+def test_track_loss_and_recovery():
+    tr = TagTracker(K, tag_size=TAG,
+                    config=TrackerConfig(roi=256, max_misses=1))
+    t0 = np.array([0, 0, 0.5], np.float32)
+    res = tr.step(jnp.asarray(_scene(5, t0)))
+    assert res.mode == "register" and res.ok
+
+    blank = np.full(SHAPE, 180.0, np.float32)
+    res = tr.step(jnp.asarray(blank))
+    assert res.mode == "lost" and not res.ok      # within miss budget
+    res = tr.step(jnp.asarray(blank))
+    assert not res.ok                              # budget exhausted
+
+    # tag reappears far outside the old ROI: full re-registration finds it
+    t2 = np.array([0.15, -0.10, 0.6], np.float32)
+    img2 = _scene(5, t2)
+    res = tr.step(jnp.asarray(img2))
+    if not res.ok:       # one extra step if the miss budget wasn't spent
+        res = tr.step(jnp.asarray(img2))
+    assert res.ok and res.mode == "register"
+    assert np.linalg.norm(res.t - t2) < 3e-3
+
+
+def test_track_rejects_wrong_id():
+    """A different tag drifting into the ROI must not be accepted as the
+    registered one."""
+    tr = TagTracker(K, tag_size=TAG, tag_id=5,
+                    config=TrackerConfig(roi=256, max_misses=1))
+    t0 = np.array([0, 0, 0.5], np.float32)
+    assert tr.step(jnp.asarray(_scene(5, t0))).ok
+
+    res = tr.step(jnp.asarray(_scene(7, t0)))
+    assert not res.ok
