@@ -114,3 +114,89 @@ def test_canopy_golden(reference_root, jnp):
         if res.found and abs(got - truth) < 0.025:
             ok += 1
     assert ok >= 2, f"canopy parity too low: {results}"
+
+
+def test_three_pose_vertical_translation(reference_root, jnp):
+    """The strongest checked-in physical ground truth: the camera was
+    moved by a known vertical offset between the three aligned captures
+    (three_pose_vertical_translation_validation.py:120-177). Gates:
+
+      * every pose solves with sub-2px reprojection,
+      * inter-pose rotation is bounded (the rig translated; the gate is
+        25 deg, not tighter, because near-fronto planar IPPE carries the
+        well-known two-solution ambiguity ~2x tilt apart — the reference
+        script asserts nothing about rotation at all, it only prints
+        translation deltas — while a corner-order bug shows up as
+        90/180 deg and must fail),
+      * the dominant translation component is camera-Y (vertical),
+        consistent in direction across both steps,
+      * delta composition: d13 == d12 + d23 (exactly, by construction)
+        and |d13| > |d12|, |d23| (same-direction steps),
+      * the PnP z-deltas agree with the aligned-depth z-deltas at the
+        projected tag center (two independent sensors of the same
+        motion) within 10 mm.
+    """
+    from repas_tpu.core.calib import load_intrinsics_json
+    from repas_tpu.core.config import DetectorConfig
+    from repas_tpu.detect.robust import detect_tags_robust
+    from repas_tpu.io.replay import ReplayBackend
+    from repas_tpu.kernels.pointcloud import median_depth_window
+    from repas_tpu.pose.pnp import solve_pnp_ippe_square
+
+    intr = load_intrinsics_json(
+        f"{RS_CAL}/factory_color_intrinsics_1280_720.json")
+    poses = {}
+    for p in (1, 2, 3):
+        rb = ReplayBackend(reference_root /
+                           f"realsense_d415i/testing_scripts/aligned_outputs"
+                           f"/pose {p}")
+        frame = None
+        for f in rb.read_all():
+            if f.depth_meters() is not None:
+                frame = f
+                break
+        assert frame is not None, f"pose {p}: no depth-paired capture"
+        det = detect_tags_robust(jnp.asarray(frame.color), DetectorConfig())
+        v = np.asarray(det.valid)
+        ids = np.asarray(det.ids)
+        slots = [j for j in range(len(ids)) if v[j] and ids[j] == 16]
+        assert slots, f"pose {p}: tag 16 not found"
+        i = slots[0]
+        K = intr.scaled(frame.color.shape[1],
+                        frame.color.shape[0]).K.astype(np.float32)
+        # decoded corners are canonically ordered (decode pins the
+        # rotation): IPPE-square directly — the 8-order search ties
+        # across the square's 90-degree symmetries and can pick a
+        # different (rotated) order per capture
+        R, t, err = solve_pnp_ippe_square(
+            det.corners[i], K, jnp.zeros(8), 0.0303)
+        assert float(err) < 2.0, f"pose {p}: reproj {float(err):.2f} px"
+        R, t = np.asarray(R), np.asarray(t)
+        depth = frame.depth_meters()
+        Kd = intr.scaled(depth.shape[1], depth.shape[0]).K
+        u = int(round(Kd[0, 0] * t[0] / t[2] + Kd[0, 2]))
+        vv = int(round(Kd[1, 1] * t[1] / t[2] + Kd[1, 2]))
+        z = float(median_depth_window(jnp.asarray(depth), u, vv, 5))
+        poses[p] = (R, t, z)
+
+    from repas_tpu.core.transforms import rotation_angle_deg
+    d12 = poses[2][1] - poses[1][1]
+    d23 = poses[3][1] - poses[2][1]
+    d13 = poses[3][1] - poses[1][1]
+    for a, b, d in ((1, 2, d12), (2, 3, d23)):
+        ang = float(rotation_angle_deg(
+            jnp.asarray(poses[b][0], jnp.float32),
+            jnp.asarray(poses[a][0], jnp.float32)))
+        assert ang < 25.0, f"rotation {a}->{b} = {ang:.2f} deg"
+        # vertical rig: Y dominates the in-plane translation
+        assert abs(d[1]) > abs(d[0]), f"{a}->{b}: {d}"
+    # same direction, accumulating magnitude
+    assert d12[1] * d23[1] > 0, (d12, d23)
+    assert abs(d13[1]) > max(abs(d12[1]), abs(d23[1]))
+    np.testing.assert_allclose(d13, d12 + d23, atol=1e-9)
+    # PnP z-motion vs depth z-motion: two sensors, same physical move
+    for (a, b) in ((1, 2), (2, 3), (1, 3)):
+        dz_pnp = poses[b][1][2] - poses[a][1][2]
+        dz_depth = poses[b][2] - poses[a][2]
+        assert abs(dz_pnp - dz_depth) < 0.010, (
+            f"{a}->{b}: PnP dz {dz_pnp:.4f} vs depth dz {dz_depth:.4f}")
