@@ -3,42 +3,60 @@
 TPU chip (BASELINE.json configs[0]/[2] shape).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N, ...}
 
-vs_baseline compares against the reference's real-time design target of
-30 fps at 1280x720 on its CPU/camera stack (femto_bolt_code/README.md:11-12,
-better_three_capture.py:45 — the stream rate its per-frame CPU loop must
-keep up with; the repo publishes no other throughput number, BASELINE.md).
+vs_baseline is the BASELINE.json north star "≥10x CPU throughput on the
+720p detect+PnP+pointcloud loop": TPU fps divided by the measured fps of
+the SAME pipeline on this host's CPU backend (the honest stand-in for the
+reference's C/C++ stack, which cannot be installed here — the reference
+itself publishes no throughput numbers, BASELINE.md). Extra fields:
+
+  cpu_fps           measured CPU throughput of the same pipeline
+  vs_design_target  TPU fps / 30 fps (the reference's real-time stream
+                    design target, better_three_capture.py:45)
+  robust_real_fps   throughput of the full robust detection ladder + PnP
+                    on the 8 checked-in real captures (BASELINE configs[2]
+                    shape — no silent synthetic-only perf claims)
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+BATCH = 16
+H, W = 720, 1280
+CPU_BATCH = 2
+CPU_ITERS = 2
 
-def main():
+
+def _frames(batch):
+    from __graft_entry__ import _example_frame
+
+    rgb, depth, K = _example_frame(H, W)
+    rng = np.random.default_rng(0)
+    rgbs = np.stack([rgb] * batch)
+    # add noise so frames aren't byte-identical
+    rgbs = np.clip(rgbs.astype(np.int16)
+                   + rng.integers(-8, 8, rgbs.shape), 0, 255).astype(np.uint8)
+    depths = np.stack([depth] * batch)
+    return rgbs, depths, K
+
+
+def _time_pipeline(batch, iters):
     import jax
     import jax.numpy as jnp
 
     from repas_tpu.core.config import PipelineConfig
     from repas_tpu.pipeline import process_frames
-    from __graft_entry__ import _example_frame
 
-    BATCH = 16
-    H, W = 720, 1280
-    rgb, depth, K = _example_frame(H, W)
-    rng = np.random.default_rng(0)
-    rgbs = np.stack([rgb] * BATCH)
-    # add noise so frames aren't byte-identical
-    rgbs = np.clip(rgbs.astype(np.int16)
-                   + rng.integers(-8, 8, rgbs.shape), 0, 255).astype(np.uint8)
-    depths = np.stack([depth] * BATCH)
-
+    rgbs, depths, K = _frames(batch)
     cfg = PipelineConfig()
     run = jax.jit(lambda r, d: process_frames(r, d, K, cfg))
-
     r = jnp.asarray(rgbs)
     d = jnp.asarray(depths)
 
@@ -50,24 +68,114 @@ def main():
 
     out = run(r, d)
     sync(out)
-
     # steady state: async dispatch, one draining sync at the end (total
     # wall clock over total frames = true pipeline throughput)
-    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(r, d)
     sync(out)
     dt = time.perf_counter() - t0
+    return batch * iters / dt
 
-    fps = BATCH * iters / dt
-    baseline_fps = 30.0
-    print(json.dumps({
+
+def _real_capture_batch():
+    """The 8 checked-in 1280x720 RealSense captures (aligned + not_aligned
+    testing_scripts outputs) — the honest robust-ladder workload."""
+    import glob
+
+    from repas_tpu.io.image import read_image
+
+    paths = sorted(
+        glob.glob("/root/reference/realsense_d415i/testing_scripts/"
+                  "*_outputs/pose */rgb_*.png"))
+    imgs = [read_image(p) for p in paths]
+    imgs = [i for i in imgs if i is not None and i.shape[:2] == (720, 1280)]
+    return np.stack(imgs) if imgs else None
+
+
+def _time_robust_ladder():
+    import jax
+    import jax.numpy as jnp
+
+    from repas_tpu.core.config import DetectorConfig, PnPConfig
+    from repas_tpu.detect.robust import detect_tags_robust
+    from repas_tpu.pose.pnp import solve_pnp_best_order
+
+    frames = _real_capture_batch()
+    if frames is None:
+        return None, None
+    cfg = DetectorConfig()
+    K = np.array([[912.35, 0, 628.78], [0, 911.78, 348.98], [0, 0, 1.0]],
+                 np.float32)
+    tag_size = PnPConfig().tag_size_m
+
+    @jax.jit
+    def run(batch):
+        det = jax.vmap(lambda g: detect_tags_robust(g, cfg))(batch)
+        # pose on the best slot per frame (margin-max), as the reference's
+        # vis_tool_april_tag_pose_validaiton.py:49-147 does per capture
+        def pose_one(d):
+            i = jnp.argmax(jnp.where(d.valid, d.decision_margin, -1.0))
+            R, t, err, order = solve_pnp_best_order(
+                d.corners[i], K, jnp.zeros(8), tag_size)
+            return t, err, d.ids[i], d.valid[i]
+        return det, jax.vmap(pose_one)(det)
+
+    b = jnp.asarray(frames)
+    det, (t, err, ids, valid) = run(b)
+    np.asarray(t)
+    n_found = int(np.asarray(valid).sum())
+
+    iters = 6
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        det, (t, err, ids, valid) = run(b)
+    np.asarray(t)
+    dt = time.perf_counter() - t0
+    return frames.shape[0] * iters / dt, n_found
+
+
+def _cpu_probe():
+    fps = _time_pipeline(CPU_BATCH, CPU_ITERS)
+    print(json.dumps({"cpu_fps": fps}))
+
+
+def main():
+    if "--cpu-probe" in sys.argv:
+        _cpu_probe()
+        return
+
+    fps = _time_pipeline(BATCH, 10)
+    robust_fps, n_found = _time_robust_ladder()
+
+    # measure the same pipeline on the CPU backend in a subprocess (this
+    # process holds the TPU; JAX_PLATFORMS must be set before jax import)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/repas_jax_cache")
+    cpu_fps = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-probe"],
+            capture_output=True, text=True, timeout=1800, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                cpu_fps = json.loads(line)["cpu_fps"]
+    except (subprocess.TimeoutExpired, OSError, json.JSONDecodeError):
+        pass
+
+    rec = {
         "metric": "detect_pnp_pointcloud_720p",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / baseline_fps, 2),
-    }))
+        "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps else None,
+        "cpu_fps": round(cpu_fps, 3) if cpu_fps else None,
+        "vs_design_target": round(fps / 30.0, 2),
+        "mpts_per_s": round(fps * H * W / 1e6, 1),
+        "robust_real_fps": round(robust_fps, 2) if robust_fps else None,
+        "robust_tags_found": n_found,
+    }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
