@@ -17,11 +17,32 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "connectivity",
-                                              "jump_every"))
 def connected_components(mask: jnp.ndarray, iters: int = 5,
                          connectivity: int = 8,
                          jump_every: int = 0) -> jnp.ndarray:
+    """Backend dispatch: the VMEM-resident Pallas kernel on TPU (bit-
+    identical, ~5x faster — ccl_pallas.py), the XLA scan formulation
+    elsewhere. jump_every is only honored by the XLA path (the default
+    pipelines never enable it)."""
+    if (jump_every == 0 and jax.default_backend() == "tpu"
+            and mask.shape[0] * mask.shape[1] <= MAX_VMEM_PIXELS):
+        from repas_tpu.kernels.ccl_pallas import connected_components_pallas
+        return connected_components_pallas(mask, iters=iters,
+                                           connectivity=connectivity)
+    return _connected_components_xla(mask, iters=iters,
+                                     connectivity=connectivity,
+                                     jump_every=jump_every)
+
+
+# the Pallas path needs the whole label image + temporaries in VMEM
+MAX_VMEM_PIXELS = 512 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "connectivity",
+                                              "jump_every"))
+def _connected_components_xla(mask: jnp.ndarray, iters: int = 5,
+                              connectivity: int = 8,
+                              jump_every: int = 0) -> jnp.ndarray:
     """Label connected True-regions of `mask` (H,W bool).
 
     Returns (H,W) int32 labels: the minimum linear pixel index of the

@@ -151,3 +151,17 @@ def test_replay_backend(reference_root):
     assert p2.width == 1280
     with pytest.raises(LookupError):
         select_profile(profs, "infrared", 640, 480)
+
+
+def test_ccl_pallas_parity_interpret(rng):
+    """The Pallas CCL kernel (used on TPU backends) is bit-identical to
+    the XLA scan formulation; interpret mode exercises the kernel's own
+    code path on any backend. Small image — interpret mode is slow."""
+    from repas_tpu.kernels.ccl import _connected_components_xla
+    from repas_tpu.kernels.ccl_pallas import connected_components_pallas
+
+    mask = jnp.asarray(rng.random((64, 128)) > 0.55)
+    ref = np.asarray(_connected_components_xla(mask, iters=5))
+    got = np.asarray(connected_components_pallas(mask, iters=5,
+                                                 interpret=True))
+    np.testing.assert_array_equal(ref, got)
