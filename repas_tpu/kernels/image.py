@@ -144,6 +144,45 @@ def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
             + fv * ((1 - fu) * i10 + fu * i11))
 
 
+def bilinear_sample_patch(patch: jnp.ndarray, uv: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """Gather-free bilinear sampling for SMALL images (ROI patches).
+
+    XLA TPU gathers are serialized scalar loads (~40 ns/sample measured
+    on v5e, operand-size independent), which made subpixel edge
+    refinement the second most expensive detector stage. This
+    reformulates bilinear interpolation as two dense contractions with
+    hat-function weight matrices: W_row[p,h] = max(0, 1-|h - y_p|) holds
+    exactly the two bilinear row weights per sample, so
+    val[p] = sum_h sum_w W_row[p,h] * patch[h,w] * W_col[p,w] — an MXU
+    matmul plus an elementwise reduce, no gathers. ~10x faster than the
+    gather path at detector sample counts; only worthwhile when
+    patch H*W is small (cost is P*H*W flops).
+
+    Coordinate clamping matches bilinear_sample exactly.
+    """
+    patch = patch.astype(jnp.float32)
+    h, w = patch.shape
+    u = jnp.clip(uv[..., 0], 0.0, w - 1.001).reshape(-1)[:, None]
+    v = jnp.clip(uv[..., 1], 0.0, h - 1.001).reshape(-1)[:, None]
+    hi = jax.lax.broadcasted_iota(jnp.float32, (1, h), 1)
+    wi = jax.lax.broadcasted_iota(jnp.float32, (1, w), 1)
+    wr = jnp.maximum(0.0, 1.0 - jnp.abs(hi - v))        # (P,h)
+    wc = jnp.maximum(0.0, 1.0 - jnp.abs(wi - u))        # (P,w)
+    t = jnp.dot(wr, patch, preferred_element_type=jnp.float32)
+    return jnp.sum(t * wc, axis=1).reshape(uv.shape[:-1])
+
+
+def extract_patches(img: jnp.ndarray, starts_xy: jnp.ndarray,
+                    size: tuple) -> jnp.ndarray:
+    """(C,2) int32 top-left corners -> (C,ph,pw) patches (dynamic-slice
+    DMAs, ~0.2 ms for 32x256^2 at 720p on v5e — contiguous copies, not
+    gathers). Starts must be pre-clamped to keep slices in bounds."""
+    ph, pw = size
+    return jax.vmap(lambda s: jax.lax.dynamic_slice(
+        img, (s[1], s[0]), (ph, pw)))(starts_xy)
+
+
 def decimate(img: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """Average-pool decimation (quad_decimate equivalent)."""
     if factor <= 1:
@@ -249,38 +288,98 @@ def clahe(gray: jnp.ndarray, clip_limit: float = 2.0, tiles: int = 8
 
     Tile histograms (256 bins) are clipped, redistributed, turned into
     CDFs, and bilinearly interpolated between tile centers.
+
+    TPU formulation (no scatters, no full-image gathers — both are
+    serialized scalar memory ops on TPU and made CLAHE the hidden cost
+    of the robust detection ladder):
+
+      * tile histograms: one-hot compare + reduce per tile (fused by
+        XLA into a bandwidth-bound pass),
+      * LUT application: the image is processed in quarter-tile blocks.
+        Within a quarter-tile block every pixel interpolates the SAME
+        four tile LUTs (the ty0/tx0 indices change only at half-tile
+        boundaries), so the 256-entry lookup becomes a (N,256) one-hot
+        @ (256,4) matmul per block — MXU work instead of 4 full-image
+        gathers. The per-pixel bilinear weights stay elementwise.
     """
     g = jnp.clip(gray.astype(jnp.float32), 0.0, 255.0)
     h, w = g.shape
     th, tw = h // tiles, w // tiles
-    gc = g[: th * tiles, : tw * tiles].reshape(tiles, th, tiles, tw)
+    hc, wc = th * tiles, tw * tiles
+    gc = g[:hc, :wc].reshape(tiles, th, tiles, tw)
     gc = gc.transpose(0, 2, 1, 3).reshape(tiles * tiles, th * tw)
     bins = 256
     idx = jnp.clip(gc.astype(jnp.int32), 0, 255)
-    hist = jax.vmap(lambda r: jnp.zeros(bins).at[r].add(1.0))(idx)
+    bin_iota = jax.lax.broadcasted_iota(jnp.int32, (1, bins), 1)
+    hist = jax.lax.map(
+        lambda r: jnp.sum((r[:, None] == bin_iota).astype(jnp.float32),
+                          axis=0), idx)
     clip = clip_limit * (th * tw) / bins
     excess = jnp.sum(jnp.maximum(hist - clip, 0.0), axis=1, keepdims=True)
     hist = jnp.minimum(hist, clip) + excess / bins
     cdf = jnp.cumsum(hist, axis=1)
     cdf = (cdf - cdf[:, :1]) / jnp.maximum(cdf[:, -1:] - cdf[:, :1], 1e-6)
-    luts = cdf * 255.0                                     # (T*T, 256)
-    luts = luts.reshape(tiles, tiles, bins)
+    luts = (cdf * 255.0).reshape(tiles, tiles, bins)
 
-    # bilinear interpolation between tile LUTs
-    yy = jnp.arange(h, dtype=jnp.float32)
-    xx = jnp.arange(w, dtype=jnp.float32)
+    # -- LUT application ---------------------------------------------
+    import numpy as _np
+    if th % 2 or tw % 2:
+        # odd tile sizes: half-tile band boundaries fall mid-row, so the
+        # quarter-tile block decomposition doesn't apply — use the
+        # gather formulation (correct everywhere, slower on TPU)
+        yy = jnp.arange(h, dtype=jnp.float32)
+        xx = jnp.arange(w, dtype=jnp.float32)
+        ty = jnp.clip((yy - th / 2) / th, 0.0, tiles - 1.001)
+        tx = jnp.clip((xx - tw / 2) / tw, 0.0, tiles - 1.001)
+        ty0 = jnp.floor(ty).astype(jnp.int32)
+        tx0 = jnp.floor(tx).astype(jnp.int32)
+        fy = (ty - ty0)[:, None]
+        fx = (tx - tx0)[None, :]
+        gi = jnp.clip(g.astype(jnp.int32), 0, 255)
+        ty0m = ty0[:, None]
+        tx0m = tx0[None, :]
+        v00 = luts[ty0m, tx0m, gi]
+        v01 = luts[ty0m, tx0m + 1, gi]
+        v10 = luts[ty0m + 1, tx0m, gi]
+        v11 = luts[ty0m + 1, tx0m + 1, gi]
+        return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+                + fy * ((1 - fx) * v10 + fx * v11))
+
+    # quarter-tile blocks: static per-block tile indices (ty0 is
+    # constant within each half-tile row band, and quarter-tile blocks
+    # never straddle a band)
+    qh, qw = th // 2, tw // 2
+    by = _np.arange(2 * tiles) * qh             # block start rows
+    bx = _np.arange(2 * tiles) * qw
+    ty0_b = _np.clip(_np.floor((by - th / 2) / th), 0, tiles - 2
+                     ).astype(_np.int32)
+    tx0_b = _np.clip(_np.floor((bx - tw / 2) / tw), 0, tiles - 2
+                     ).astype(_np.int32)
+    # (2T,2T,4,bins) LUT stack per block: [v00, v01, v10, v11]
+    l00 = luts[ty0_b][:, tx0_b]
+    l01 = luts[ty0_b][:, tx0_b + 1]
+    l10 = luts[ty0_b + 1][:, tx0_b]
+    l11 = luts[ty0_b + 1][:, tx0_b + 1]
+    lut4 = jnp.stack([l00, l01, l10, l11], axis=2)         # (2T,2T,4,B)
+    lut4 = lut4.reshape(4 * tiles * tiles, 4, bins)
+
+    gi = jnp.clip(g[:hc, :wc].astype(jnp.int32), 0, 255)
+    gb = gi.reshape(2 * tiles, qh, 2 * tiles, qw)
+    gb = gb.transpose(0, 2, 1, 3).reshape(4 * tiles * tiles, qh * qw)
+    onehot = (gb[:, :, None] == bin_iota[None]).astype(jnp.float32)
+    v4 = jnp.einsum("bns,bks->bnk", onehot, lut4,
+                    preferred_element_type=jnp.float32)    # (B,N,4)
+    v4 = v4.reshape(2 * tiles, 2 * tiles, qh, qw, 4)
+    v4 = v4.transpose(0, 2, 1, 3, 4).reshape(hc, wc, 4)
+
+    yy = jnp.arange(hc, dtype=jnp.float32)
+    xx = jnp.arange(wc, dtype=jnp.float32)
     ty = jnp.clip((yy - th / 2) / th, 0.0, tiles - 1.001)
     tx = jnp.clip((xx - tw / 2) / tw, 0.0, tiles - 1.001)
-    ty0 = jnp.floor(ty).astype(jnp.int32)
-    tx0 = jnp.floor(tx).astype(jnp.int32)
-    fy = (ty - ty0)[:, None]
-    fx = (tx - tx0)[None, :]
-    gi = jnp.clip(g.astype(jnp.int32), 0, 255)
-    ty0m = ty0[:, None]
-    tx0m = tx0[None, :]
-    v00 = luts[ty0m, tx0m, gi]
-    v01 = luts[ty0m, tx0m + 1, gi]
-    v10 = luts[ty0m + 1, tx0m, gi]
-    v11 = luts[ty0m + 1, tx0m + 1, gi]
-    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
-            + fy * ((1 - fx) * v10 + fx * v11))
+    fy = (ty - jnp.floor(ty))[:, None]
+    fx = (tx - jnp.floor(tx))[None, :]
+    out = ((1 - fy) * ((1 - fx) * v4[..., 0] + fx * v4[..., 1])
+           + fy * ((1 - fx) * v4[..., 2] + fx * v4[..., 3]))
+    if (hc, wc) != (h, w):       # un-tiled remainder rows/cols pass through
+        out = jnp.pad(out, ((0, h - hc), (0, w - wc)), mode="edge")
+    return out

@@ -165,3 +165,16 @@ def test_ccl_pallas_parity_interpret(rng):
     got = np.asarray(connected_components_pallas(mask, iters=5,
                                                  interpret=True))
     np.testing.assert_array_equal(ref, got)
+
+
+def test_ccl_pallas_tiled_parity_interpret(rng):
+    """The band-tiled Pallas CCL (used on TPU for images beyond
+    single-block VMEM capacity) matches the XLA path bit-for-bit."""
+    from repas_tpu.kernels.ccl import _connected_components_xla
+    from repas_tpu.kernels.ccl_pallas import connected_components_pallas_tiled
+
+    mask = jnp.asarray(rng.random((64, 256)) > 0.55)
+    ref = np.asarray(_connected_components_xla(mask, iters=5))
+    got = np.asarray(connected_components_pallas_tiled(mask, iters=5,
+                                                       interpret=True))
+    np.testing.assert_array_equal(ref, got)
