@@ -288,7 +288,39 @@ def solve_pnp_sqpnp(obj_pts: jnp.ndarray, img_pts: jnp.ndarray, K, dist=None,
     for i in range(3):
         for sgn in (1.0, -1.0):
             cands.append(sgn * evecs[:, i])
-    cand_R = jnp.stack([_nearest_rotation(c.reshape(3, 3)) for c in cands])
+    cand_R = [_nearest_rotation(c.reshape(3, 3)) for c in cands]
+
+    # 7th candidate: weighted homography DLT on (x,y) -> normalized
+    # coords. For (near-)coplanar layouts (the multi-tag bundle: all
+    # tags in the layout's z=0 plane) Omega's small eigen-subspace is
+    # degenerate, so the eigenvector seeds rotate arbitrarily with f32
+    # rounding and GN can stall off-basin; the homography seed is
+    # essentially exact there. For non-planar points the H fit is
+    # meaningless and its refined candidate simply loses the argmin.
+    sw = jnp.sqrt(jnp.maximum(wts, 0.0))
+    x_, y_ = obj_pts[:, 0], obj_pts[:, 1]
+    one = jnp.ones_like(x_)
+    zero = jnp.zeros_like(x_)
+    uu, vv = xy[:, 0], xy[:, 1]
+    r_u = jnp.stack([x_, y_, one, zero, zero, zero,
+                     -uu * x_, -uu * y_, -uu], axis=1)
+    r_v = jnp.stack([zero, zero, zero, x_, y_, one,
+                     -vv * x_, -vv * y_, -vv], axis=1)
+    Ah = jnp.concatenate([r_u * sw[:, None], r_v * sw[:, None]], axis=0)
+    _, _, Vt = jnp.linalg.svd(Ah, full_matrices=False)
+    Hm = Vt[-1].reshape(3, 3)
+    h1, h2, h3 = Hm[:, 0], Hm[:, 1], Hm[:, 2]
+    s = 0.5 * (jnp.linalg.norm(h1) + jnp.linalg.norm(h2))
+    # sign: the layout origin must sit at positive depth (h33/s = t_z
+    # when the origin is in view; fall back to +1 at the degenerate 0)
+    sgn_h = jnp.where(h3[2] < 0, -1.0, 1.0)
+    R_h = _nearest_rotation(
+        jnp.stack([h1, h2, jnp.cross(h1, h2) / jnp.maximum(s, 1e-20)],
+                  axis=1) * sgn_h)
+    cand_R.append(R_h)
+    # (t per candidate comes from the closed form t*(x) = T vec(R) in
+    # score_and_refine — optimal for ANY rotation, including R_h)
+    cand_R = jnp.stack(cand_R)
 
     def score_and_refine(R):
         x = R.reshape(9)

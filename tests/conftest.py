@@ -46,6 +46,10 @@ def reference_root():
     return REFERENCE
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped on purpose: a session-scoped generator makes every
+    # test's random data depend on which tests ran before it (the whole
+    # suite becomes order-dependent and single-test runs see different
+    # data than full-suite runs)
     return np.random.default_rng(0)
