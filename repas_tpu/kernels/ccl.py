@@ -24,11 +24,16 @@ def connected_components(mask: jnp.ndarray, iters: int = 5,
     identical, ~5x faster — ccl_pallas.py), the XLA scan formulation
     elsewhere. jump_every is only honored by the XLA path (the default
     pipelines never enable it)."""
-    if (jump_every == 0 and jax.default_backend() == "tpu"
-            and mask.shape[0] * mask.shape[1] <= MAX_VMEM_PIXELS):
-        from repas_tpu.kernels.ccl_pallas import connected_components_pallas
-        return connected_components_pallas(mask, iters=iters,
-                                           connectivity=connectivity)
+    if jump_every == 0 and jax.default_backend() == "tpu":
+        if mask.shape[0] * mask.shape[1] <= MAX_VMEM_PIXELS:
+            from repas_tpu.kernels.ccl_pallas import \
+                connected_components_pallas
+            return connected_components_pallas(mask, iters=iters,
+                                               connectivity=connectivity)
+        from repas_tpu.kernels.ccl_pallas import \
+            connected_components_pallas_tiled
+        return connected_components_pallas_tiled(mask, iters=iters,
+                                                 connectivity=connectivity)
     return _connected_components_xla(mask, iters=iters,
                                      connectivity=connectivity,
                                      jump_every=jump_every)
