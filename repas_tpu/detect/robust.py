@@ -79,3 +79,98 @@ def detect_tags_robust(img: jnp.ndarray,
         dets.append(jax.vmap(lambda g: detect_tags(g, cfg1))(batch1))
 
     return _merge_by_margin(dets, config.max_detections)
+
+
+# ---------------------------------------------------------------------------
+# staged (host-adaptive) ladder over a frame batch
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _stage_base(frames, config: DetectorConfig):
+    """[raw, blurred] decimated sweep per frame -> merged Detections."""
+    def one(img):
+        gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
+        batch = jnp.stack([gray, gaussian_blur(gray, 1.0)])
+        det = jax.vmap(lambda g: detect_tags(g, config))(batch)
+        return _merge_by_margin([det], config.max_detections)
+    return jax.vmap(one)(frames)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "gamma"))
+def _stage_enhance(frames, config: DetectorConfig, gamma: float):
+    """[CLAHE, gamma] decimated sweep per frame."""
+    def one(img):
+        gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
+        batch = jnp.stack([clahe(gray), gamma_lut(gray, gamma)])
+        det = jax.vmap(lambda g: detect_tags(g, config))(batch)
+        return _merge_by_margin([det], config.max_detections)
+    return jax.vmap(one)(frames)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _stage_fullres(frames, config: DetectorConfig):
+    """[raw, CLAHE] decimate-1 (full resolution) sweep per frame."""
+    cfg1 = dataclasses.replace(config, quad_decimate=1.0)
+    def one(img):
+        gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
+        batch = jnp.stack([gray, clahe(gray)])
+        det = jax.vmap(lambda g: detect_tags(g, cfg1))(batch)
+        return _merge_by_margin([det], config.max_detections)
+    return jax.vmap(one)(frames)
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def detect_tags_robust_staged(frames, config: DetectorConfig =
+                              DetectorConfig(), gamma: float = 0.7
+                              ) -> Detections:
+    """Host-adaptive escalation ladder over a frame batch (N,H,W[,3]) —
+    the reference's SEQUENTIAL retry behavior (detect_best_tag,
+    vis_tool_april_tag_pose_validaiton.py:65-86: try, then escalate only
+    on failure), batched per stage:
+
+      A. [raw, blur] decimated sweep on every frame
+      B. [CLAHE, gamma] decimated sweep, only frames with no accepted tag
+      C. [raw, CLAHE] full-resolution sweep, only frames still empty
+
+    Frames that escalate merge all their stages' detections by decision
+    margin. Escalation subsets pad to power-of-2 buckets so at most
+    log2(N)+1 shapes ever compile per stage. On the 8 checked-in real
+    captures this is several-fold cheaper than the unconditional ladder
+    (stage C costs ~66 ms/frame; most frames accept at A/B).
+    """
+    frames = jnp.asarray(frames)
+    D = config.max_detections
+    fields = [f.name for f in dataclasses.fields(Detections)]
+    det = _stage_base(frames, config)
+    # np.array (copy): asarray views of device buffers are read-only
+    result = jax.tree_util.tree_map(lambda x: np.array(x), det)
+
+    def escalate(stage_fn, need_idx, *args):
+        b = _bucket(len(need_idx))
+        pad = np.resize(need_idx, b)           # repeat-pad to the bucket
+        sub = frames[jnp.asarray(pad)]
+        det_s = stage_fn(sub, config, *args)
+        cur = Detections(**{f: jnp.asarray(getattr(result, f)[pad])
+                            for f in fields})
+        merged = jax.vmap(lambda a_, b_: _merge_by_margin([a_, b_], D)
+                          )(cur, det_s)
+        merged = jax.tree_util.tree_map(np.asarray, merged)
+        for f in fields:
+            getattr(result, f)[need_idx] = getattr(merged, f)[:len(need_idx)]
+
+    found = result.valid.any(axis=1)
+    if not found.all():
+        escalate(_stage_enhance, np.nonzero(~found)[0], gamma)
+        found = result.valid.any(axis=1)
+    if not found.all() and config.quad_decimate > 1:
+        escalate(_stage_fullres, np.nonzero(~found)[0])
+    return result

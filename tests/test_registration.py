@@ -156,3 +156,25 @@ def test_global_registration_100k(rng):
                                    jnp.asarray(T_true[:3, :3], jnp.float32)))
     assert ang < 5.0, ang
     np.testing.assert_allclose(T[:3, 3], T_true[:3, 3], atol=0.02)
+
+
+def test_detect_tags_robust_staged(rng):
+    """Host-adaptive escalation ladder: finds tags across a batch and
+    only escalates frames that need it (reference's sequential retry,
+    vis_tool_april_tag_pose_validaiton.py:65-86)."""
+    from repas_tpu.detect.render import render_tag_in_scene
+    from repas_tpu.detect.robust import detect_tags_robust_staged
+    from repas_tpu.core.transforms import rodrigues
+
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]], np.float32)
+    R = np.asarray(rodrigues(jnp.asarray(np.array([0.2, -0.1, 0.05],
+                                                  np.float32))))
+    f1 = render_tag_in_scene(12, R, np.array([0, 0, 0.5], np.float32), K,
+                             0.06, (480, 640), supersample=3)
+    # a hard frame: strong gamma darkening, still detectable via the
+    # enhancement stage
+    f2 = np.clip(255.0 * (f1 / 255.0) ** 3.0, 0, 255)
+    det = detect_tags_robust_staged(np.stack([f1, f2]))
+    for i in range(2):
+        ids = det.ids[i][det.valid[i]].tolist()
+        assert 12 in ids, f"frame {i}: {ids}"
