@@ -99,7 +99,7 @@ def test_canopy_golden(reference_root, jnp):
     # capture session used are not checked in; fx~910 at 720p per
     # three_pose_vertical_translation_validation.py:29-33)
     K = np.array([[912.35, 0, 628.78], [0, 911.78, 348.98], [0, 0, 1.0]])
-    ok, results = 0, []
+    results, errs = [], []
     for stamp in ["2025-11-14T143013", "2025-11-14T143028",
                   "2025-11-14T143037", "2025-11-14T143042"]:
         rgb = read_image(base / f"canopy_capture_{stamp}_HD.png")
@@ -111,9 +111,14 @@ def test_canopy_golden(reference_root, jnp):
             CanopyConfig())
         got = float(res.canopy_3d[1])
         results.append((stamp, got, truth, bool(res.found)))
-        if res.found and abs(got - truth) < 0.025:
-            ok += 1
-    assert ok >= 2, f"canopy parity too low: {results}"
+        assert res.found, f"canopy bar not found: {stamp}"
+        errs.append(abs(got - truth))
+    # every capture reproduces the recorded canopy_y within 25 mm (the
+    # truth comes from the reference's GrabCut pipeline — a different
+    # segmentation algorithm — so a small systematic gap remains);
+    # median agreement well under that (measured 2.5-16.3 mm, r2)
+    assert max(errs) < 0.025, f"canopy parity: {results}"
+    assert float(np.median(errs)) < 0.015, f"canopy parity: {results}"
 
 
 def test_three_pose_vertical_translation(reference_root, jnp):
