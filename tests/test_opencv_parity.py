@@ -147,3 +147,126 @@ def test_detector_corners_vs_aruco(rng):
     # render where our corners sit <0.1 px from geometric truth) — gate
     # at 1.3 px to catch real disagreement, not the convention offset
     assert dmat.min(axis=1).max() < 1.3, dmat.min(axis=1)
+
+
+def test_calibrate_camera_parity(rng):
+    """Zhang+LM calibrateCamera vs cv2.calibrateCamera on synthetic
+    checkerboard views with known K and distortion
+    (checkerboard_callibration.py:241-255 is the reference call)."""
+    from repas_tpu.calib.checkerboard import calibrate_camera
+
+    K_true = np.array([[880.0, 0, 630.0], [0, 875.0, 350.0], [0, 0, 1.0]])
+    dist_true = np.array([0.08, -0.15, 0.001, -0.0015, 0.05])
+    cols, rows, sq = 9, 6, 0.024
+    obj = np.zeros((cols * rows, 3))
+    obj[:, :2] = (np.mgrid[0:cols, 0:rows].T.reshape(-1, 2)) * sq
+
+    objs, imgs = [], []
+    for v in range(8):
+        rvec = rng.uniform(-0.35, 0.35, 3)
+        tvec = np.array([rng.uniform(-0.06, 0.06),
+                         rng.uniform(-0.04, 0.04),
+                         rng.uniform(0.35, 0.6)])
+        tvec[:2] -= (obj[:, :2].mean(0) * 0.9)
+        uv, _ = cv2.projectPoints(obj, rvec, tvec, K_true, dist_true)
+        uv = uv.reshape(-1, 2) + rng.normal(scale=0.05, size=(len(obj), 2))
+        if (uv < 0).any() or (uv[:, 0] > 1280).any() or (uv[:, 1] > 720).any():
+            continue
+        objs.append(obj)
+        imgs.append(uv)
+    assert len(objs) >= 5
+
+    o = np.asarray(objs, np.float32)
+    i = np.asarray(imgs, np.float32)
+    K_ours, dist_ours, rms_ours, _, _ = calibrate_camera(o, i, (1280, 720))
+    rms_cv, K_cv, dist_cv, _, _ = cv2.calibrateCamera(
+        o, i.astype(np.float32)[:, :, None, :], (1280, 720), None, None)
+
+    # both recover the true camera; compare against truth AND each other
+    assert abs(K_ours[0, 0] - K_true[0, 0]) < 2.0
+    assert abs(K_ours[1, 1] - K_true[1, 1]) < 2.0
+    assert abs(K_ours[0, 2] - K_true[0, 2]) < 2.0
+    assert abs(K_ours[1, 2] - K_true[1, 2]) < 2.0
+    np.testing.assert_allclose(K_ours[:2], K_cv[:2], atol=3.0)
+    np.testing.assert_allclose(dist_ours[:2], dist_cv.ravel()[:2], atol=0.02)
+    assert rms_ours < 0.2 and rms_cv < 0.2
+
+
+def test_canny_hough_bar_parity(rng):
+    """Canny + dominant-horizontal-line extraction vs cv2.Canny +
+    HoughLinesP on a synthetic rotated-bar scene (the canopy bar
+    detector's job, canopy_return_upgraded.py Canny/Hough usage)."""
+    from repas_tpu.canopy.bar import canny_edges, hough_horizontal_bar
+
+    h, w = 360, 640
+    img = np.full((h, w), 40.0, np.float32)
+    img += rng.normal(scale=2.0, size=(h, w))
+    # a bright bar ~5 px thick at 4 deg through the image center
+    yy, xx = np.mgrid[0:h, 0:w]
+    angle = np.radians(4.0)
+    d = (yy - 180) * np.cos(angle) - (xx - 320) * np.sin(angle)
+    img[np.abs(d) < 3] = 220.0
+    u8 = np.clip(img, 0, 255).astype(np.uint8)
+
+    ours = np.asarray(canny_edges(jnp.asarray(img), 50.0, 150.0))
+    cv = cv2.Canny(u8, 50, 150)
+    # edge maps agree on the bar boundary (different NMS tie-breaks ->
+    # compare dilated overlap, not pixel identity)
+    cv_d = cv2.dilate(cv, np.ones((3, 3), np.uint8)) > 0
+    ours_on_cv = (ours > 0) & cv_d
+    agree = ours_on_cv.sum() / max((ours > 0).sum(), 1)
+    assert agree > 0.9, f"only {agree:.2%} of our edges near cv2's"
+
+    line = hough_horizontal_bar(jnp.asarray(ours))
+    segs = cv2.HoughLinesP(cv, 1, np.pi / 180, 50, minLineLength=64,
+                           maxLineGap=8)
+    assert segs is not None
+    # cv2's longest qualifying near-horizontal segment
+    best, blen = None, 0
+    for seg in np.asarray(segs).reshape(-1, 4):
+        x1, y1, x2, y2 = [float(v) for v in seg]
+        a = np.degrees(np.arctan2(y2 - y1, x2 - x1))
+        ln = np.hypot(x2 - x1, y2 - y1)
+        if abs(a) < 20 and ln > blen:
+            best, blen = (x1, y1, x2, y2), ln
+    assert best is not None
+    y_cv = (best[1] + best[3]) / 2
+    assert bool(line.found)
+    y_ours = float(line.p0[1] + line.p1[1]) / 2
+    # the bar has TWO boundary edges ~6 px apart; either detector may
+    # lock onto either edge — compare within the bar thickness
+    assert abs(y_ours - y_cv) < 8.0, (y_ours, y_cv)
+    assert abs(abs(float(line.angle_deg)) - 4.0) < 1.5
+
+
+def test_detector_real_capture_vs_aruco():
+    """Cross-check on a REAL capture (not synthetic): where cv2.aruco
+    also finds tag 16, our corners agree within ~1.5 px (SURVEY §6
+    tolerance-parity row, real-data version)."""
+    import pathlib
+    cap = pathlib.Path("/root/reference/realsense_d415i/testing_scripts/"
+                       "aligned_outputs/pose 1")
+    if not cap.exists():
+        pytest.skip("reference captures not mounted")
+    from repas_tpu.core.config import DetectorConfig
+    from repas_tpu.detect.robust import detect_tags_robust
+    from repas_tpu.io.image import read_image
+
+    rgbs = sorted(cap.glob("rgb_*.png"))
+    img = read_image(rgbs[0])
+    gray8 = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11)
+    par = cv2.aruco.DetectorParameters()
+    par.cornerRefinementMethod = cv2.aruco.CORNER_REFINE_SUBPIX
+    corners_cv, ids_cv, _ = cv2.aruco.ArucoDetector(d, par).detectMarkers(gray8)
+    if ids_cv is None or 16 not in ids_cv.ravel():
+        pytest.skip("cv2.aruco did not find tag 16 on this capture")
+    theirs = corners_cv[list(ids_cv.ravel()).index(16)][0]
+
+    det = detect_tags_robust(jnp.asarray(img), DetectorConfig())
+    v = np.asarray(det.valid)
+    ids = np.asarray(det.ids)
+    assert 16 in ids[v]
+    ours = np.asarray(det.corners)[list(ids).index(16)]
+    dmat = np.linalg.norm(ours[:, None, :] - theirs[None, :, :], axis=-1)
+    assert dmat.min(axis=1).max() < 1.5, dmat.min(axis=1)
