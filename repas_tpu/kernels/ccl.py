@@ -122,6 +122,29 @@ def component_areas(labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros(n + 1, jnp.float32).at[flat].add(1.0)[:n]
 
 
+def _component_runs(labels: jnp.ndarray):
+    """Exact per-component areas WITHOUT a scatter: sort the flat label
+    image, count run lengths via a reverse min-scan over run-start
+    positions. TPU scatter-add is ~4x the cost of sort+scan at these
+    sizes (1.7 vs 0.4+0.1 ms at 230k, measured v5e).
+
+    Returns (run_label (N,), run_area (N,) f32) — nonzero area only at
+    run-start positions; background (sentinel) runs get area 0. Ties in
+    a top_k over run_area break toward smaller labels, matching the
+    dense-histogram formulation (positions are sorted by label)."""
+    h, w = labels.shape
+    n = h * w
+    s = jnp.sort(labels.reshape(-1))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    is_start = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
+    sp = jnp.where(is_start, pos, n)
+    nxt_incl = jax.lax.associative_scan(jnp.minimum, sp, reverse=True)
+    nxt = jnp.concatenate([nxt_incl[1:], jnp.full(1, n, jnp.int32)])
+    area = jnp.where(is_start & (s < n), (nxt - pos).astype(jnp.float32),
+                     0.0)
+    return s, area
+
+
 def component_bboxes(labels: jnp.ndarray):
     """Per-label bounding boxes via scatter-min/max.
 
@@ -155,14 +178,15 @@ def top_k_components(labels: jnp.ndarray, k: int,
     Returns (root_labels (k,) int32, areas (k,) f32, valid (k,) bool).
     """
     h, w = labels.shape
-    areas = component_areas(labels)         # the single scatter pass
-    ok = (areas >= min_area) & (areas <= max_area)
-    scored = jnp.where(ok, areas, 0.0)
+    run_label, run_area = _component_runs(labels)   # sort-based, no scatter
+    ok = (run_area >= min_area) & (run_area <= max_area)
+    scored = jnp.where(ok, run_area, 0.0)
     if not ring_filter:
-        top_areas, top_idx = jax.lax.top_k(scored, k)
-        return top_idx.astype(jnp.int32), top_areas, top_areas > 0
+        top_areas, top_pos = jax.lax.top_k(scored, k)
+        return run_label[top_pos].astype(jnp.int32), top_areas, top_areas > 0
 
-    cand_areas, cand_idx = jax.lax.top_k(scored, 2 * k)
+    cand_areas, cand_pos = jax.lax.top_k(scored, 2 * k)
+    cand_idx = run_label[cand_pos].astype(jnp.int32)
     flat = labels.reshape(-1)
     m = flat[None, :] == cand_idx[:, None]          # (2k, N)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
