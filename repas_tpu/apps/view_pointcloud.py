@@ -34,6 +34,11 @@ def main(argv=None):
                         "equivalent) instead of matplotlib scatter")
     p.add_argument("--orbit", type=int, default=3,
                    help="number of orbit viewpoints (with --splat)")
+    p.add_argument("--html", type=Path, default=None,
+                   help="also write a self-contained INTERACTIVE WebGL "
+                        "viewer (rotate/zoom/pan in any browser — the "
+                        "headless equivalent of the reference's Open3D "
+                        "draw_geometries window)")
     args = p.parse_args(argv)
 
     pc = read_ply(args.input)
@@ -43,6 +48,10 @@ def main(argv=None):
         m = np.linalg.norm(pts, axis=1) < args.max_dist
         pts = pts[m]
         cols = None if cols is None else cols[m]
+    if args.html is not None:
+        from repas_tpu.viz.html_viewer import write_html_viewer
+        write_html_viewer(args.html, pts, cols, title=args.input.name)
+        log.info("wrote interactive viewer %s", args.html)
     if args.splat:
         import jax.numpy as jnp
 

@@ -255,3 +255,28 @@ def test_alpha_shape_sphere(rng):
     nrm = np.cross(b - a, c - a)
     out_frac = ((nrm * ((a + b + c) / 3)).sum(1) > 0).mean()
     assert out_frac > 0.95, out_frac
+
+
+def test_html_viewer(tmp_path, rng):
+    """Self-contained interactive viewer artifact: embedded point data
+    round-trips, no external resources (works offline)."""
+    import base64
+    import json
+    import re
+
+    from repas_tpu.viz.html_viewer import write_html_viewer
+
+    pts = rng.normal(size=(500, 3)).astype(np.float32)
+    cols = rng.integers(0, 255, (500, 3)).astype(np.uint8)
+    p = write_html_viewer(tmp_path / "v.html", pts, cols, title="t")
+    html = p.read_text()
+    assert "http://" not in html and "https://" not in html  # offline
+    blob = base64.b64decode(re.search(r'const B64 = "([^"]*)"',
+                                      html).group(1))
+    meta = json.loads(re.search(r'const META = (\{[^;]*\});',
+                                html).group(1))
+    assert meta["n"] == 500
+    got = np.frombuffer(blob[:500 * 12], "<f4").reshape(-1, 3)
+    np.testing.assert_array_equal(got, pts)
+    gcol = np.frombuffer(blob[500 * 12:], np.uint8).reshape(-1, 3)
+    np.testing.assert_array_equal(gcol, cols)
