@@ -73,6 +73,16 @@ def main(argv=None):
     pm.add_argument("--pose", type=Path, required=True)
     pm.add_argument("--tag-size", type=float, default=0.0303)
     pm.add_argument("--json", type=Path)
+
+    p3 = sub.add_parser(
+        "threeway",
+        help="detector-pose vs PnP vs raw-depth tag center in mm "
+             "(final_view.py:305-365)")
+    p3.add_argument("--color", type=Path, required=True)
+    p3.add_argument("--depth", type=Path, required=True)
+    add_intrinsics_args(p3)
+    p3.add_argument("--tag-size", type=float, default=0.0303)
+    p3.add_argument("--json", type=Path)
     args = p.parse_args(argv)
 
     if args.cmd == "translation":
@@ -123,6 +133,55 @@ def main(argv=None):
                "t_corrected": np.asarray(t_corr),
                "z_error_mm": float(abs(t[2] - z_pcd) * 1000)}
         log.info("PnP z=%.4f pcd z=%.4f scale=%.4f", t[2], z_pcd, float(s))
+        emit_json(out, args.json)
+        return out
+
+    if args.cmd == "threeway":
+        # three independent estimates of the tag position, in mm
+        # (final_view.py:305-365: detector pose vs solvePnP vs the raw
+        # depth point at the projected tag center)
+        from repas_tpu.pose.pnp import detector_pose
+
+        rgb = load_rgb(args.color)
+        depth = load_depth_m(args.depth)
+        intr = resolve_intrinsics(args, rgb.shape[1], rgb.shape[0])
+        pose = _best_tag_pose(rgb, intr, args.tag_size)
+        if pose is None:
+            raise SystemExit("no tag detected")
+        t_pnp = pose["t"]
+        Rd, t_det, err_det = detector_pose(
+            jnp.asarray(pose["corners"]),
+            jnp.asarray(intr.K, jnp.float32), args.tag_size)
+        t_det = np.asarray(t_det)
+        K = intr.K
+        u = int(round(K[0, 0] * t_pnp[0] / t_pnp[2] + K[0, 2]))
+        v = int(round(K[1, 1] * t_pnp[1] / t_pnp[2] + K[1, 2]))
+        Kd = intr.scaled(depth.shape[1], depth.shape[0]).K
+        ud = int(round(u * depth.shape[1] / rgb.shape[1]))
+        vd = int(round(v * depth.shape[0] / rgb.shape[0]))
+        z = float(median_depth_window(jnp.asarray(depth), ud, vd, 5))
+        t_depth = np.array([(ud - Kd[0, 2]) * z / Kd[0, 0],
+                            (vd - Kd[1, 2]) * z / Kd[1, 1], z])
+        out = {
+            "id": pose["id"],
+            "t_pnp_mm": t_pnp * 1000,
+            "t_detector_mm": t_det * 1000,
+            "t_depth_mm": t_depth * 1000,
+            "pnp_vs_detector_mm": float(
+                np.linalg.norm(t_pnp - t_det) * 1000),
+            "pnp_vs_depth_mm": float(
+                np.linalg.norm(t_pnp - t_depth) * 1000),
+            "detector_vs_depth_mm": float(
+                np.linalg.norm(t_det - t_depth) * 1000),
+            "pnp_err_px": pose["err_px"],
+            "detector_err_px": float(err_det),
+        }
+        log.info("PnP %s | detector %s | depth %s (mm)",
+                 (t_pnp * 1000).round(1), (t_det * 1000).round(1),
+                 (t_depth * 1000).round(1))
+        log.info("deltas mm: pnp-det %.1f, pnp-depth %.1f, det-depth %.1f",
+                 out["pnp_vs_detector_mm"], out["pnp_vs_depth_mm"],
+                 out["detector_vs_depth_mm"])
         emit_json(out, args.json)
         return out
 

@@ -186,6 +186,36 @@ def solve_pnp_ippe_square(img_corners: jnp.ndarray, K, dist, tag_size_m,
     return rodrigues(rvs[best]), ts2[best], errs[best]
 
 
+def detector_pose(img_corners: jnp.ndarray, K, tag_size_m):
+    """The AprilTag library's built-in homography pose
+    (estimate_tag_pose=True: pose_R/pose_t from the decode homography,
+    no distortion model, no iterative polish) — the reference consumes
+    it in final_view_with_cad.py:66-103 and 3-way-compares it against
+    solvePnP and the raw depth point in final_view.py:305-365.
+
+    Closed-form homography decomposition only (both planar-ambiguity
+    branches, cheirality + algebraic-error pick — the C library's
+    orthogonal-iteration refinement is deliberately NOT applied so this
+    stays the 'cheap detector pose' tier). Returns (R, t, err_px).
+    """
+    K = jnp.asarray(K, img_corners.dtype)
+    obj = square_object_points(tag_size_m, img_corners.dtype)
+    norm_xy = undistort_points(img_corners, K, jnp.zeros(8, K.dtype))
+    unit_obj = obj[:, :2] / (jnp.asarray(tag_size_m, K.dtype) / 2.0)
+    Hn = _homography_4pt(unit_obj, norm_xy)
+    Rs, ts = _ippe_from_homography(Hn)
+    ts = ts * (jnp.asarray(tag_size_m, K.dtype) / 2.0)
+
+    def err_of(R, t):
+        proj = project_points(obj, rodrigues_inv(R), t, K, None)
+        return jnp.mean(jnp.linalg.norm(proj - img_corners, axis=-1))
+
+    errs = jax.vmap(err_of)(Rs, ts)
+    scores = errs + jnp.where(ts[:, 2] <= 0, 1e6, 0.0)
+    best = jnp.argmin(scores)
+    return Rs[best], ts[best], errs[best]
+
+
 # ---------------------------------------------------------------------------
 # Gauss-Newton refinement (the ITERATIVE solver's core)
 # ---------------------------------------------------------------------------

@@ -194,3 +194,20 @@ def test_fusion_finite_with_empty_slots(rng):
     assert int(pose.anchor_idx) == 0
     # masked slots carry zero weight
     assert np.asarray(pose.weights)[1:].max() == 0.0
+
+
+def test_detector_pose_matches_pnp(rng):
+    """The homography detector pose (estimate_tag_pose equivalent) agrees
+    with the refined IPPE solve on clean corners; 3-way compared in
+    apps/validate_pose threeway (final_view.py:305-365)."""
+    from repas_tpu.pose.pnp import detector_pose
+
+    for _ in range(5):
+        rvec, t = synth_pose(rng, max_angle=0.5)
+        img = project_corners(rvec, t)
+        R, t_hat, err = detector_pose(img, K, TAG)
+        assert float(err) < 0.2          # closed-form, no polish
+        np.testing.assert_allclose(np.asarray(t_hat), t, atol=2e-3)
+        R_true = np.asarray(rodrigues(jnp.asarray(rvec)))
+        assert float(rotation_angle_deg(jnp.asarray(R_true),
+                                        jnp.asarray(np.asarray(R)))) < 1.0
