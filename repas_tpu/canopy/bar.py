@@ -155,6 +155,31 @@ def hough_horizontal_bar(edges: jnp.ndarray, threshold: int = 50,
                      coverage=coverage, length=length)
 
 
+def detect_bar(rgb: jnp.ndarray, canny_low: float = 50.0,
+               canny_high: float = 150.0, hough_threshold: int = 50,
+               min_coverage: float = 0.1,
+               max_bar_angle_deg: float = 20.0):
+    """Bar line + rotation matrix WITHOUT warping the image.
+
+    The reference rotates the whole frame so the bar is horizontal and
+    segments in the rotated frame (canopy_return_upgraded.py:11-95); a
+    full-image bilinear warp is a serialized gather on TPU, and the
+    rotated-frame row coordinate of any pixel is just an affine form
+    yr = M10 x + M11 y + M12 — so the pipeline measures 'highest plant
+    pixel above the bar' by projecting mask pixels directly
+    (height.py), no warp needed. Returns (line, M)."""
+    gray = rgb_to_gray(rgb)
+    edges = canny_edges(gray, canny_low, canny_high)
+    line = hough_horizontal_bar(edges, threshold=hough_threshold,
+                                min_line_frac=min_coverage,
+                                max_angle_deg=max_bar_angle_deg)
+    h, w = gray.shape
+    M = get_rotation_matrix_2d((w // 2, h // 2), line.angle_deg, 1.0)
+    M = jnp.where(line.found, M,
+                  get_rotation_matrix_2d((w // 2, h // 2), 0.0, 1.0))
+    return line, M
+
+
 def detect_rotate_bar(rgb: jnp.ndarray, canny_low: float = 50.0,
                       canny_high: float = 150.0, hough_threshold: int = 50,
                       min_coverage: float = 0.1,

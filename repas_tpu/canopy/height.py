@@ -18,9 +18,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from repas_tpu.canopy.bar import detect_rotate_bar
-from repas_tpu.canopy.segment import (apply_green_mask, canopy_level_mark,
-                                      green_seed_mask, refine_plant_mask)
+from repas_tpu.canopy.bar import detect_bar
+from repas_tpu.canopy.segment import (apply_green_mask, green_seed_mask,
+                                      refine_plant_mask)
 from repas_tpu.core.config import CanopyConfig
 from repas_tpu.kernels.image import invert_affine, transform_points_2d
 from repas_tpu.kernels.pointcloud import median_depth_window
@@ -33,10 +33,10 @@ class CanopyResult(NamedTuple):
     canopy_3d: jnp.ndarray       # (3,)
     bar_3d: jnp.ndarray          # (3,)
     canopy_px: jnp.ndarray       # (2,) original-image pixel
-    canopy_px_rot: jnp.ndarray   # (2,) rotated-image pixel
+    canopy_px_rot: jnp.ndarray   # (2,) bar-aligned-frame coords
     bar_px: jnp.ndarray          # (2,)
     rotation_deg: jnp.ndarray    # ()
-    plant_mask: jnp.ndarray      # (H,W) bool (rotated frame)
+    plant_mask: jnp.ndarray      # (H,W) bool (unrotated, decimated)
 
 
 def measure_plant_height(rgb: jnp.ndarray, depth_m: jnp.ndarray, K,
@@ -62,8 +62,15 @@ def measure_plant_height(rgb: jnp.ndarray, depth_m: jnp.ndarray, K,
     def to_full(px):
         return px * dec + (dec - 1) / 2.0
 
-    # 1. bar + rotation (decimated coords)
-    line, M, rotated = detect_rotate_bar(
+    # 1. bar line + rotation matrix — NO image warp: the reference
+    # rotates the frame so the bar is horizontal, segments, takes the
+    # highest mask row, and inverse-rotates the point
+    # (canopy_return_upgraded.py:133-151). The rotated-frame row of any
+    # pixel is the affine form yr = M10 x + M11 y + M12, so 'highest
+    # plant pixel above the bar' is a masked min of that elementwise
+    # field — a full-image bilinear warp (a serialized gather on TPU)
+    # never has to happen.
+    line, M = detect_bar(
         rgb_proc, cfg.canny_low, cfg.canny_high,
         max(1, cfg.hough_threshold // dec),
         cfg.min_coverage, cfg.max_bar_angle_deg)
@@ -78,18 +85,30 @@ def measure_plant_height(rgb: jnp.ndarray, depth_m: jnp.ndarray, K,
                                        cfg.depth_fallback_win))
     bar_3d = deproject_pixels(bar_px, bz, K)
 
-    # 3-4. segmentation on the ROTATED image
-    rot_u8 = jnp.clip(rotated, 0, 255).astype(jnp.uint8)
-    seed = green_seed_mask(rot_u8, cfg.green_seed_lo, cfg.green_seed_hi)
-    fg = refine_plant_mask(rot_u8, seed, iters=cfg.grabcut_iters)
-    plant = apply_green_mask(rot_u8, fg, cfg.green_lo, cfg.green_hi,
+    # 3-4. segmentation on the (unrotated) decimated image
+    seed = green_seed_mask(rgb_proc, cfg.green_seed_lo, cfg.green_seed_hi)
+    fg = refine_plant_mask(rgb_proc, seed, iters=cfg.grabcut_iters)
+    plant = apply_green_mask(rgb_proc, fg, cfg.green_lo, cfg.green_hi,
                              cfg.morph_kernel)
 
-    # 5. canopy mark (rotated, decimated frame)
-    cy, cx, c_found = canopy_level_mark(plant)
-    canopy_rot = jnp.stack([cx, cy]).astype(jnp.float32)
+    # 5. canopy mark via projection into the bar-aligned frame
+    hp, wp = plant.shape
+    xg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
+    yg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0)
+    yr = M[1, 0] * xg + M[1, 1] * yg + M[1, 2]
+    xr = M[0, 0] * xg + M[0, 1] * yg + M[0, 2]
+    yr_m = jnp.where(plant, yr, jnp.inf)
+    y_top = jnp.min(yr_m)
+    c_found = jnp.isfinite(y_top)
+    # the reference takes the median x of the top mask row; the top
+    # 'row' here is the 1-px band of rotated-frame rows at the minimum
+    band = plant & (yr_m < y_top + 1.0)
+    xr_band = jnp.sort(jnp.where(band, xr, jnp.inf).reshape(-1))
+    cnt = jnp.sum(band)
+    x_top = xr_band[jnp.maximum((cnt - 1) // 2, 0)]
+    canopy_rot = jnp.stack([x_top, y_top])
 
-    # 6. inverse-rotate, then map to full-res original coords
+    # 6. inverse-rotate the point, then map to full-res original coords
     Minv = invert_affine(M)
     canopy_px = to_full(transform_points_2d(Minv, canopy_rot))
 

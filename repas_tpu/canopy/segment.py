@@ -53,13 +53,34 @@ def refine_plant_mask(rgb: jnp.ndarray, seed: jnp.ndarray,
     bins = _hsv_bins(hsv).reshape(-1)
     n_bins = _H_BINS * _S_BINS * _V_BINS
 
+    # Two-level one-hot factorization of the bin index (hi = bins //
+    # _LO, lo = bins % _LO): per-pixel histogram scatter-adds and
+    # 2048-entry table gathers are serialized scalar memory ops on TPU
+    # (~100 ms/frame total across the 5 iterations); as one-hot factors
+    # they become MXU matmuls —
+    #   hist[hi,lo]   = (e_hi * m)^T @ e_lo          (scatter-add)
+    #   table[bins_p] = sum_hl e_hi[p,h] T[h,l] e_lo[p,l]   (gather)
+    # — exact (each one-hot row has a single 1, so sums have one term).
+    _LO = 64
+    n_hi = n_bins // _LO
+    hi = bins // _LO
+    lo = bins % _LO
+    ihi = jax.lax.broadcasted_iota(jnp.int32, (1, n_hi), 1)
+    ilo = jax.lax.broadcasted_iota(jnp.int32, (1, _LO), 1)
+    e_hi = (hi[:, None] == ihi).astype(jnp.float32)     # (N, n_hi)
+    e_lo = (lo[:, None] == ilo).astype(jnp.float32)     # (N, _LO)
+
     def body(_, mask):
         m = mask.reshape(-1).astype(jnp.float32)
-        fg = jnp.zeros(n_bins, jnp.float32).at[bins].add(m) + 1.0
-        bg = jnp.zeros(n_bins, jnp.float32).at[bins].add(1.0 - m) + 1.0
-        fg = fg / jnp.sum(fg)
-        bg = bg / jnp.sum(bg)
-        llr = jnp.log(fg[bins]) - jnp.log(bg[bins])
+        # each (hi, lo) cell IS one of the 2048 bins, so the +1 Laplace
+        # smoothing is unchanged
+        fg2 = jnp.einsum("nh,nl->hl", e_hi * m[:, None], e_lo) + 1.0
+        bg2 = jnp.einsum("nh,nl->hl", e_hi * (1.0 - m)[:, None],
+                         e_lo) + 1.0
+        fg2 = fg2 / jnp.sum(fg2)
+        bg2 = bg2 / jnp.sum(bg2)
+        T = jnp.log(fg2) - jnp.log(bg2)                 # (n_hi, _LO)
+        llr = jnp.einsum("nh,hl,nl->n", e_hi, T, e_lo)
         new = (llr > 0.0).reshape(mask.shape)
         # keep the seed as probable-FG prior; smooth boundaries
         new = new & (morph_close(mask.astype(jnp.float32)) > 0) | seed
