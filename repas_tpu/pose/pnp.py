@@ -156,6 +156,7 @@ def _ippe_from_homography(Hn: jnp.ndarray):
     return jnp.stack([R1, R2]), jnp.stack([t1, t2])
 
 
+@functools.partial(jax.jit, static_argnames=("refine_iters",))
 def solve_pnp_ippe_square(img_corners: jnp.ndarray, K, dist, tag_size_m,
                           refine_iters: int = 8):
     """IPPE_SQUARE: 4 pixel corners (TL,TR,BR,BL object order) -> pose.
@@ -163,6 +164,11 @@ def solve_pnp_ippe_square(img_corners: jnp.ndarray, K, dist, tag_size_m,
     Returns (R (3,3), t (3,), reproj_err_px). Both analytic solutions are
     GN-refined and the lower-reprojection-error one wins (matching OpenCV's
     solution ordering).
+
+    jitted whole: on the tunneled TPU every eager op is a separate
+    dispatch (~35 ms RTT) plus a per-process sub-second compile the
+    persistent cache refuses to keep — one eager call of this solver
+    cost ~60 s of warmup per process vs one cached program here.
     """
     K = jnp.asarray(K, img_corners.dtype)
     obj = square_object_points(tag_size_m, img_corners.dtype)
@@ -186,6 +192,7 @@ def solve_pnp_ippe_square(img_corners: jnp.ndarray, K, dist, tag_size_m,
     return rodrigues(rvs[best]), ts2[best], errs[best]
 
 
+@jax.jit
 def detector_pose(img_corners: jnp.ndarray, K, tag_size_m):
     """The AprilTag library's built-in homography pose
     (estimate_tag_pose=True: pose_R/pose_t from the decode homography,
@@ -277,6 +284,26 @@ def _nearest_rotation(M: jnp.ndarray) -> jnp.ndarray:
     return U @ D @ Vt
 
 
+def _rotation_from_homography(Hm: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) rotation seed from a plane-to-normalized-image homography
+    H ~ s*[r1 r2 t] with arbitrary SVD sign.
+
+    The sign is fixed so the plane origin sits at positive depth
+    (h33/s = t_z when the origin is in view; +1 at the degenerate 0).
+    The flip must be applied to h1/h2 BEFORE the cross product:
+    cross(h1,h2) is invariant to negating both, so scaling the whole
+    stacked matrix by -1 would flip the third column too and make it
+    improper (det<0), projecting ~180 deg away from the true rotation
+    (ADVICE r2, medium)."""
+    h1, h2, h3 = Hm[:, 0], Hm[:, 1], Hm[:, 2]
+    s = 0.5 * (jnp.linalg.norm(h1) + jnp.linalg.norm(h2))
+    sgn_h = jnp.where(h3[2] < 0, -1.0, 1.0)
+    return _nearest_rotation(
+        jnp.stack([sgn_h * h1, sgn_h * h2,
+                   jnp.cross(h1, h2) / jnp.maximum(s, 1e-20)], axis=1))
+
+
+@functools.partial(jax.jit, static_argnames=("refine_iters",))
 def solve_pnp_sqpnp(obj_pts: jnp.ndarray, img_pts: jnp.ndarray, K, dist=None,
                     refine_iters: int = 15, weights=None):
     """General PnP via the quadratic-program formulation + GN polish.
@@ -339,15 +366,7 @@ def solve_pnp_sqpnp(obj_pts: jnp.ndarray, img_pts: jnp.ndarray, K, dist=None,
     Ah = jnp.concatenate([r_u * sw[:, None], r_v * sw[:, None]], axis=0)
     _, _, Vt = jnp.linalg.svd(Ah, full_matrices=False)
     Hm = Vt[-1].reshape(3, 3)
-    h1, h2, h3 = Hm[:, 0], Hm[:, 1], Hm[:, 2]
-    s = 0.5 * (jnp.linalg.norm(h1) + jnp.linalg.norm(h2))
-    # sign: the layout origin must sit at positive depth (h33/s = t_z
-    # when the origin is in view; fall back to +1 at the degenerate 0)
-    sgn_h = jnp.where(h3[2] < 0, -1.0, 1.0)
-    R_h = _nearest_rotation(
-        jnp.stack([h1, h2, jnp.cross(h1, h2) / jnp.maximum(s, 1e-20)],
-                  axis=1) * sgn_h)
-    cand_R.append(R_h)
+    cand_R.append(_rotation_from_homography(Hm))
     # (t per candidate comes from the closed form t*(x) = T vec(R) in
     # score_and_refine — optimal for ANY rotation, including R_h)
     cand_R = jnp.stack(cand_R)

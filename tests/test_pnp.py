@@ -211,3 +211,22 @@ def test_detector_pose_matches_pnp(rng):
         R_true = np.asarray(rodrigues(jnp.asarray(rvec)))
         assert float(rotation_angle_deg(jnp.asarray(R_true),
                                         jnp.asarray(np.asarray(R)))) < 1.0
+
+
+def test_homography_seed_sign_invariance(rng):
+    """The SQPnP planar homography seed must recover R for BOTH SVD signs
+    of H (the sign is arbitrary; ADVICE r2: flipping the whole stacked
+    matrix made it improper and ~180 deg off for negated H)."""
+    from repas_tpu.pose.pnp import _rotation_from_homography
+
+    for i in range(10):
+        rvec, t = synth_pose(rng)
+        R = np.asarray(rodrigues(jnp.asarray(rvec)))
+        H = np.stack([R[:, 0], R[:, 1], t], axis=1)
+        for sgn in (1.0, -1.0):
+            R_h = np.asarray(_rotation_from_homography(
+                jnp.asarray(sgn * H, jnp.float32)))
+            assert np.linalg.det(R_h) > 0.5, f"case {i} sgn {sgn}: improper"
+            ang = float(rotation_angle_deg(jnp.asarray(R),
+                                           jnp.asarray(R_h)))
+            assert ang < 0.1, f"case {i} sgn {sgn}: {ang} deg off"
