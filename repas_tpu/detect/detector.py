@@ -37,13 +37,13 @@ from repas_tpu.detect import tag_families
 from repas_tpu.kernels.ccl import connected_components, top_k_components
 from repas_tpu.kernels.image import (adaptive_threshold, bilinear_sample,
                                      bilinear_sample_patch, decimate,
-                                     extract_patches, gaussian_blur,
-                                     rgb_to_gray)
+                                     gaussian_blur, rgb_to_gray)
 
-# side of the per-component full-res ROI patch used for subpixel
-# refinement (gather-free matmul sampling): covers quads up to
-# ~PATCH-2*margin px across; larger quads keep their coarse corners
-# (see detect_tags). 256 = tag filling a third of 720p height.
+# side of the per-component ROI patch used for subpixel refinement
+# (gather-free matmul sampling): covers quads up to ~PATCH-2*margin px
+# across at full resolution; larger quads are refined on a 2x/4x
+# decimated patch of the same size (see detect_tags) instead of keeping
+# coarse corners. 256 = tag filling a third of 720p height.
 _PATCH = 256
 
 _NDIRS = 16
@@ -332,32 +332,64 @@ def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig()
     # offset, a tight second pass from the refined quad avoids secondary
     # gradients inside the search window (0.24 mm / 0.16 deg pose error on
     # a supersampled render vs 2.9 mm / 1.1 deg single-pass).
-    # Sampling runs on per-component full-res ROI patches with the
-    # gather-free matmul sampler (TPU gathers are serialized scalar
-    # loads; patches are contiguous dynamic-slice DMAs): 4.7 -> ~0.4
-    # ms/frame for both passes. Quads too large for the patch (rare:
-    # > ~230 px across) keep their coarse corners.
+    # Sampling runs on per-component ROI patches with the gather-free
+    # matmul sampler (TPU gathers are serialized scalar loads; patches
+    # are contiguous dynamic-slice DMAs): 4.7 -> ~0.4 ms/frame for both
+    # passes. Quads too large for a full-res patch (> ~230 px across —
+    # close-range tags) pick the first pyramid level whose decimated
+    # patch covers them: level-l localization error ~0.1*2^l px, far
+    # below the coarse corners they previously kept (2.6 mm vs 0.24 mm
+    # pose cliff, ADVICE r2).
     ph, pw = min(_PATCH, h), min(_PATCH, w)
     margin = 12.0
+    cover = min(ph, pw) - 2 * margin
+    n_levels = 1
+    while cover * 2 ** (n_levels - 1) < max(h, w) and n_levels < 3:
+        n_levels += 1
+    lvl_imgs = [gray]
+    for lv in range(1, n_levels):
+        s = 2 ** lv
+        g2 = decimate(gray[: h // s * s, : w // s * s], s)
+        lvl_imgs.append(jnp.pad(
+            g2, ((0, h - g2.shape[0]), (0, w - g2.shape[1]))))
+    pyr = jnp.stack(lvl_imgs)                          # (L,H,W)
+
     qlo = jnp.min(quads, axis=1)                       # (C,2) x,y
     qhi = jnp.max(quads, axis=1)
-    starts = jnp.stack([
-        jnp.clip(jnp.floor(qlo[:, 0] - margin).astype(jnp.int32),
-                 0, w - pw),
-        jnp.clip(jnp.floor(qlo[:, 1] - margin).astype(jnp.int32),
-                 0, h - ph)], axis=1)
-    fits = ((qhi[:, 0] - qlo[:, 0]) <= pw - 2 * margin) & \
-           ((qhi[:, 1] - qlo[:, 1]) <= ph - 2 * margin)
-    patches = extract_patches(gray, starts, (ph, pw))
+    starts_l, fits_l = [], []
+    for lv in range(n_levels):
+        s = 2 ** lv
+        # full-res x maps to level-l coord (x - (s-1)/2) / s (low-res
+        # pixel i covers full-res [i*s, i*s+s-1])
+        lo_l = (qlo - (s - 1) / 2.0) / s
+        hi_l = (qhi - (s - 1) / 2.0) / s
+        wl, hl = w // s, h // s
+        starts_l.append(jnp.stack([
+            jnp.clip(jnp.floor(lo_l[:, 0] - margin).astype(jnp.int32),
+                     0, max(wl - pw, 0)),
+            jnp.clip(jnp.floor(lo_l[:, 1] - margin).astype(jnp.int32),
+                     0, max(hl - ph, 0))], axis=1))
+        fits_l.append(((hi_l[:, 0] - lo_l[:, 0]) <= pw - 2 * margin)
+                      & ((hi_l[:, 1] - lo_l[:, 1]) <= ph - 2 * margin))
+    fits_all = jnp.stack(fits_l, axis=1)               # (C,L)
+    lvl = jnp.argmax(fits_all, axis=1).astype(jnp.int32)
+    fits = jnp.any(fits_all, axis=1)
+    starts = jnp.take_along_axis(
+        jnp.stack(starts_l, axis=1), lvl[:, None, None], axis=1)[:, 0]
+    scale = jnp.exp2(lvl.astype(jnp.float32))[:, None, None]  # (C,1,1)
+
+    patches = jax.vmap(lambda lv_, st: jax.lax.dynamic_slice(
+        pyr, (lv_, st[1], st[0]), (1, ph, pw))[0])(lvl, starts)
     off = starts.astype(jnp.float32)[:, None, :]       # (C,1,2)
-    q_rel = quads - off
+    q_rel = (quads - (scale - 1) / 2.0) / scale - off
     q_rel = jax.vmap(lambda p, q: _refine_edges(
         p, q, search=2.0 + dec, sampler=bilinear_sample_patch)
         )(patches, q_rel)
     q_rel = jax.vmap(lambda p, q: _refine_edges(
         p, q, search=2.0, offset_step=0.25,
         sampler=bilinear_sample_patch))(patches, q_rel)
-    quads = jnp.where(fits[:, None, None], q_rel + off, quads)
+    refined = (q_rel + off) * scale + (scale - 1) / 2.0
+    quads = jnp.where(fits[:, None, None], refined, quads)
 
     table = jnp.asarray(tag_families.tag_family_bits())
     perms = jnp.asarray(tag_families.rotation_perms())
