@@ -323,10 +323,12 @@ def clahe(gray: jnp.ndarray, clip_limit: float = 2.0, tiles: int = 8
 
     # -- LUT application ---------------------------------------------
     import numpy as _np
-    if th % 2 or tw % 2:
-        # odd tile sizes: half-tile band boundaries fall mid-row, so the
-        # quarter-tile block decomposition doesn't apply — use the
-        # gather formulation (correct everywhere, slower on TPU)
+    if th % 2 or tw % 2 or (hc, wc) != (h, w):
+        # odd tile sizes (half-tile band boundaries fall mid-row, so the
+        # quarter-tile block decomposition doesn't apply) or H/W not a
+        # multiple of the tile grid (the remainder band must still be
+        # LUT-transformed, not edge-replicated): use the gather
+        # formulation (correct everywhere, slower on TPU)
         yy = jnp.arange(h, dtype=jnp.float32)
         xx = jnp.arange(w, dtype=jnp.float32)
         ty = jnp.clip((yy - th / 2) / th, 0.0, tiles - 1.001)
@@ -380,6 +382,4 @@ def clahe(gray: jnp.ndarray, clip_limit: float = 2.0, tiles: int = 8
     fx = (tx - jnp.floor(tx))[None, :]
     out = ((1 - fy) * ((1 - fx) * v4[..., 0] + fx * v4[..., 1])
            + fy * ((1 - fx) * v4[..., 2] + fx * v4[..., 3]))
-    if (hc, wc) != (h, w):       # un-tiled remainder rows/cols pass through
-        out = jnp.pad(out, ((0, h - hc), (0, w - wc)), mode="edge")
     return out
