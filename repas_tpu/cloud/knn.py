@@ -17,6 +17,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# the 3x3x3 neighborhood offsets, enumerated once (dx-major) so candidate
+# column order is deterministic
+_OFFSETS = np.array([[dx, dy, dz]
+                     for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1)
+                     for dz in (-1, 0, 1)], dtype=np.int32)
 
 
 class GridHash(NamedTuple):
@@ -57,41 +65,67 @@ def grid_hash_build(pts: jnp.ndarray, mask: jnp.ndarray, origin, cell,
                     cell=jnp.asarray(cell))
 
 
-@functools.partial(jax.jit, static_argnames=("dims",))
+def _candidate_indices(gh: GridHash, qpts: jnp.ndarray, dims: tuple
+                       ) -> jnp.ndarray:
+    """(Q, 27*slots) candidate target indices (-1 = empty slot).
+
+    One vectorized gather over the 3x3x3 neighborhood x all slots. The
+    previous formulation unrolled 27*slots separate gathers in Python;
+    inside an ICP `while_loop` body that graph made XLA's CPU compile
+    pathologically slow (>25 min for the two-level query) — this form
+    compiles in seconds and produces the same candidate SET.
+
+    Query cells clamp like _cell_ids does for targets: out-of-extent
+    queries search the boundary cells (where out-of-extent targets were
+    parked) instead of silently seeing zero candidates."""
+    nx, ny, nz = dims
+    dims_a = jnp.asarray(dims, jnp.int32)
+    ijk = jnp.floor((qpts - gh.origin) / gh.cell).astype(jnp.int32)
+    ijk = jnp.clip(ijk, 0, dims_a - 1)
+    q = ijk[:, None, :] + jnp.asarray(_OFFSETS)[None, :, :]   # (Q,27,3)
+    inb = jnp.all((q >= 0) & (q < dims_a), axis=-1)           # (Q,27)
+    qc = (q[..., 0] * ny + q[..., 1]) * nz + q[..., 2]
+    qc = jnp.where(inb, qc, 0)
+    pi = gh.cell_of[:, qc]                                    # (S,Q,27)
+    pi = jnp.where(inb[None] & (pi >= 0), pi, -1)
+    nq = qpts.shape[0]
+    return jnp.moveaxis(pi, 0, 2).reshape(nq, -1)             # (Q, 27*S)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "chunk"))
 def grid_hash_query(gh: GridHash, target_pts: jnp.ndarray,
                     query_pts: jnp.ndarray, query_mask: jnp.ndarray,
-                    dims: tuple):
+                    dims: tuple, chunk: int = 16384):
     """1-NN search: for each query, scan the 27 neighboring cells' slots.
 
-    Returns (nn_idx (Q,) int32 [-1 if none], nn_dist (Q,) f32).
+    Returns (nn_idx (Q,) int32 [-1 if none], nn_dist (Q,) f32). Queries
+    beyond `chunk` rows are processed in chunks so the (chunk, 27*slots, 3)
+    candidate gather stays memory-bounded at any Q.
     """
-    nx, ny, nz = dims
-    n_cells = nx * ny * nz
-    ijk = jnp.floor((query_pts - gh.origin) / gh.cell).astype(jnp.int32)
+    nq = query_pts.shape[0]
 
-    best_d = jnp.full(query_pts.shape[0], jnp.inf, jnp.float32)
-    best_i = jnp.full(query_pts.shape[0], -1, jnp.int32)
-    slots = gh.cell_of.shape[0]
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                q = ijk + jnp.asarray([dx, dy, dz], jnp.int32)
-                inb = jnp.all((q >= 0) & (q < jnp.asarray(dims, jnp.int32)),
-                              axis=1)
-                qc = (q[:, 0] * ny + q[:, 1]) * nz + q[:, 2]
-                qc = jnp.where(inb, qc, 0)
-                for s in range(slots):
-                    pi = gh.cell_of[s][qc]
-                    pi = jnp.where(inb & (pi >= 0), pi, -1)
-                    cand = target_pts[jnp.maximum(pi, 0)]
-                    d = jnp.sum((cand - query_pts) ** 2, axis=1)
-                    d = jnp.where(pi >= 0, d, jnp.inf)
-                    better = d < best_d
-                    best_d = jnp.where(better, d, best_d)
-                    best_i = jnp.where(better, pi, best_i)
-    best_d = jnp.where(query_mask, jnp.sqrt(best_d), jnp.inf)
-    best_i = jnp.where(query_mask, best_i, -1)
-    return best_i, best_d
+    def chunk_fn(args):
+        qpts, qmask = args
+        cand = _candidate_indices(gh, qpts, dims)             # (C, 27S)
+        diff = target_pts[jnp.maximum(cand, 0)] - qpts[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.where(cand >= 0, d2, jnp.inf)
+        j = jnp.argmin(d2, axis=1)
+        dmin = jnp.take_along_axis(d2, j[:, None], 1)[:, 0]
+        imin = jnp.take_along_axis(cand, j[:, None], 1)[:, 0]
+        ok = qmask & (imin >= 0)
+        return (jnp.where(ok, imin, -1),
+                jnp.where(ok, jnp.sqrt(dmin), jnp.inf))
+
+    if nq <= chunk:
+        return chunk_fn((query_pts, query_mask))
+    n_chunks = (nq + chunk - 1) // chunk
+    pad = n_chunks * chunk - nq
+    qp = jnp.concatenate([query_pts, jnp.zeros((pad, 3), query_pts.dtype)])
+    qm = jnp.concatenate([query_mask, jnp.zeros(pad, bool)])
+    idx, dist = jax.lax.map(chunk_fn, (qp.reshape(n_chunks, chunk, 3),
+                                       qm.reshape(n_chunks, chunk)))
+    return idx.reshape(-1)[:nq], dist.reshape(-1)[:nq]
 
 
 class GridHash2(NamedTuple):
@@ -160,28 +194,13 @@ def grid_hash_query_knn(gh: GridHash, target_pts: jnp.ndarray,
     the (chunk, 27*slots, 3) gather stays memory-bounded at any Q.
     Returns (idx (Q,k) int32 [-1 pad], dist (Q,k) f32 [inf pad]), nearest
     first. Self-matches are NOT excluded."""
-    nx, ny, nz = dims
     nq = query_pts.shape[0]
     slots = gh.cell_of.shape[0]
     kk = min(k, 27 * slots)
 
     def chunk_fn(args):
         qpts, qmask = args
-        ijk = jnp.floor((qpts - gh.origin) / gh.cell).astype(jnp.int32)
-        cand = []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    q = ijk + jnp.asarray([dx, dy, dz], jnp.int32)
-                    inb = jnp.all(
-                        (q >= 0) & (q < jnp.asarray(dims, jnp.int32)),
-                        axis=1)
-                    qc = (q[:, 0] * ny + q[:, 1]) * nz + q[:, 2]
-                    qc = jnp.where(inb, qc, 0)
-                    for s in range(slots):
-                        pi = gh.cell_of[s][qc]
-                        cand.append(jnp.where(inb & (pi >= 0), pi, -1))
-        cand = jnp.stack(cand, axis=1)                    # (C, 27*slots)
+        cand = _candidate_indices(gh, qpts, dims)         # (C, 27*slots)
         diff = target_pts[jnp.maximum(cand, 0)] - qpts[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)
         d2 = jnp.where(cand >= 0, d2, jnp.inf)
@@ -217,7 +236,14 @@ def knn_neighbors(pts: jnp.ndarray, mask: jnp.ndarray, radius: float,
     radius (the SPFH/normal-estimation workhorse at full cloud scale —
     no global subsample, VERDICT r1 item 10)."""
     big = jnp.where(mask[:, None], pts, jnp.inf)
+    small = jnp.where(mask[:, None], pts, -jnp.inf)
     lo = jnp.min(big, axis=0) - radius
-    gh = grid_hash_build(pts, mask, lo, jnp.asarray(radius, jnp.float32),
-                         dims, slots)
+    hi = jnp.max(small, axis=0) + radius
+    # cell >= extent/dims so the grid always covers the cloud — otherwise
+    # points beyond dims*cell clamp into boundary cells (overflowing their
+    # slots) and queries there would see truncated neighborhoods
+    extent = jnp.max(hi - lo)
+    cell = jnp.maximum(jnp.asarray(radius, jnp.float32),
+                       extent / (min(dims) - 1))
+    gh = grid_hash_build(pts, mask, lo, cell, dims, slots)
     return grid_hash_query_knn(gh, pts, pts, mask, dims, k)
