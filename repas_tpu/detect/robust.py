@@ -11,6 +11,7 @@ setting, and results merge by decision margin.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,31 @@ def _merge_by_margin(dets: list[Detections], D: int) -> Detections:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("use_clahe", "use_gamma",
+                                             "gamma"))
+def _enhance_stack(img: jnp.ndarray, use_clahe: bool, use_gamma: bool,
+                   gamma: float):
+    """Enhancement-variant stack (V,H,W) + (gray, clahe) singles."""
+    gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
+    cl = clahe(gray) if use_clahe else gray
+    variants = [gray, gaussian_blur(gray, 1.0)]
+    if use_clahe:
+        variants.append(cl)
+    if use_gamma:
+        variants.append(gamma_lut(gray, gamma))
+    return jnp.stack(variants), gray, cl
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _detect_batch(batch: jnp.ndarray, config: DetectorConfig) -> Detections:
+    return jax.vmap(lambda g: detect_tags(g, config))(batch)
+
+
+@functools.partial(jax.jit, static_argnames=("D",))
+def _merge_jit(dets: list, D: int) -> Detections:
+    return _merge_by_margin(dets, D)
+
+
 def detect_tags_robust(img: jnp.ndarray,
                        config: DetectorConfig = DetectorConfig(),
                        use_clahe: bool = True, use_gamma: bool = True,
@@ -63,29 +89,28 @@ def detect_tags_robust(img: jnp.ndarray,
     """Detect over [raw, blurred, CLAHE, gamma] enhancement variants —
     plus a decimate-1 pass when config decimates — and merge by decision
     margin. Per tag id the best-margin detection wins.
+
+    Composed of a few whole-stage jitted subprograms (variant stack,
+    batched detect, merge) rather than eager ops or one fused program: on
+    the tunneled TPU every eager op is its own ~35 ms dispatch plus a
+    per-process sub-second compile the persistent cache refuses to keep
+    (the previous eager merge cost minutes of warmup per process), while
+    one fused 6-variant program blows the compile past 10 minutes.
+    Piecewise, each subprogram compiles in minutes once and is cached.
     """
-    gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
-    variants = [gray, gaussian_blur(gray, 1.0)]
-    if use_clahe:
-        variants.append(clahe(gray))
-    if use_gamma:
-        variants.append(gamma_lut(gray, gamma))
-    batch = jnp.stack(variants)
-    dets = [jax.vmap(lambda g: detect_tags(g, config))(batch)]
+    batch, gray, cl = _enhance_stack(img, use_clahe, use_gamma, gamma)
+    dets = [_detect_batch(batch, config)]
 
     if full_res_pass and config.quad_decimate > 1:
         cfg1 = dataclasses.replace(config, quad_decimate=1.0)
-        batch1 = jnp.stack([gray, variants[2] if use_clahe else gray])
-        dets.append(jax.vmap(lambda g: detect_tags(g, cfg1))(batch1))
+        dets.append(_detect_batch(jnp.stack([gray, cl]), cfg1))
 
-    return _merge_by_margin(dets, config.max_detections)
+    return _merge_jit(dets, config.max_detections)
 
 
 # ---------------------------------------------------------------------------
 # staged (host-adaptive) ladder over a frame batch
 # ---------------------------------------------------------------------------
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -120,6 +145,13 @@ def _stage_fullres(frames, config: DetectorConfig):
         det = jax.vmap(lambda g: detect_tags(g, cfg1))(batch)
         return _merge_by_margin([det], config.max_detections)
     return jax.vmap(one)(frames)
+
+
+@functools.partial(jax.jit, static_argnames=("D",))
+def _merge_pairs(cur: Detections, new: Detections, D: int) -> Detections:
+    """Batched two-set margin merge (jitted: keeps the escalation path
+    free of eager per-op dispatches on the tunneled TPU)."""
+    return jax.vmap(lambda a_, b_: _merge_by_margin([a_, b_], D))(cur, new)
 
 
 def _bucket(n: int) -> int:
@@ -161,8 +193,7 @@ def detect_tags_robust_staged(frames, config: DetectorConfig =
         det_s = stage_fn(sub, config, *args)
         cur = Detections(**{f: jnp.asarray(getattr(result, f)[pad])
                             for f in fields})
-        merged = jax.vmap(lambda a_, b_: _merge_by_margin([a_, b_], D)
-                          )(cur, det_s)
+        merged = _merge_pairs(cur, det_s, D)
         merged = jax.tree_util.tree_map(np.asarray, merged)
         for f in fields:
             getattr(result, f)[need_idx] = getattr(merged, f)[:len(need_idx)]
