@@ -16,7 +16,8 @@ import argparse
 from pathlib import Path
 
 from repas_tpu.apps._common import log
-from repas_tpu.cloud.reconstruct import alpha_shape, reconstruct_surface
+from repas_tpu.cloud.reconstruct import (alpha_shape, ball_pivot,
+                                         reconstruct_surface)
 from repas_tpu.io.meta import write_meta
 from repas_tpu.io.ply import TriangleMesh, read_geometry, write_stl
 
@@ -27,7 +28,7 @@ def main(argv=None):
     p.add_argument("output", type=Path)
     p.add_argument("--dim", type=int, default=128,
                    help="reconstruction grid resolution (poisson)")
-    p.add_argument("--method", choices=["poisson", "alpha"],
+    p.add_argument("--method", choices=["poisson", "alpha", "bpa"],
                    default="poisson")
     p.add_argument("--alpha", type=float, default=0.0,
                    help="alpha ball radius (0 = auto from NN spacing)")
@@ -44,6 +45,11 @@ def main(argv=None):
         if args.method == "alpha":
             mesh = alpha_shape(geom, alpha=args.alpha or None)
             method = f"alpha_shape(alpha={args.alpha or 'auto'})"
+        elif args.method == "bpa":
+            # the reference's default method (ply_to_stl.py:66-67, auto
+            # radii 0.8/1.2/1.6x mean NN spacing)
+            mesh = ball_pivot(geom)
+            method = "ball_pivot(auto radii)"
         else:
             mesh = reconstruct_surface(geom, dim=args.dim)
             method = f"fft_poisson+surface_nets(dim={args.dim})"

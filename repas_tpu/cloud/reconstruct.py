@@ -217,6 +217,94 @@ def mean_nn_spacing(pts: np.ndarray, sample: int = 2000, seed: int = 0
     return float(np.sqrt(d2.min(axis=1)).mean())
 
 
+def ball_pivot(pc: PointCloud, radii: list[float] | None = None,
+               dims: tuple = (48, 48, 48), slots: int = 8) -> TriangleMesh:
+    """Ball-pivoting reconstruction (Bernardini et al. 1999) — the
+    reference's named BPA method (ply_to_stl.py:65-91, auto radii
+    0.8/1.2/1.6x mean NN spacing, ply_to_stl.py:55-63).
+
+    TPU-shaped formulation via BPA's geometric characterization instead
+    of the sequential advancing-front walk: a triangle is on the r-BPA
+    surface iff its circumradius is <= r AND a ball of radius r through
+    its three vertices is EMPTY of other points (the pivot ball "rests"
+    on the triple). Candidate triples come from the Delaunay
+    tetrahedralization (an empty circumscribing ball through three points
+    implies the face is Delaunay, so Delaunay faces are a superset of
+    every r-exposed triangle); the per-face empty-ball tests run as ONE
+    batched device pass — both pivot-ball centers of every candidate are
+    1-NN-queried against the cloud through the grid hash (cloud/knn.py)
+    with cell size r, whose 3x3x3 neighborhood exactly covers an r-ball.
+    The union over the radius ladder is taken with duplicate faces
+    removed, matching o3d's multi-radius BPA contract. (The advancing
+    front additionally drops r-exposed faces unreachable by pivoting from
+    the seed; for the dense oriented captures this targets, the sets
+    coincide.)
+    """
+    from scipy.spatial import Delaunay
+
+    from repas_tpu.cloud.knn import grid_hash_build, grid_hash_query
+
+    pts = np.asarray(pc.points, np.float64)
+    if radii is None:
+        base = mean_nn_spacing(pts)
+        radii = [0.8 * base, 1.2 * base, 1.6 * base]
+
+    tet = Delaunay(pts)
+    simp = tet.simplices
+    faces = np.concatenate([simp[:, [0, 1, 2]], simp[:, [0, 1, 3]],
+                            simp[:, [0, 2, 3]], simp[:, [1, 2, 3]]])
+    tri = np.unique(np.sort(faces, axis=1), axis=0)
+
+    a, b, c = pts[tri[:, 0]], pts[tri[:, 1]], pts[tri[:, 2]]
+    ab, ac = b - a, c - a
+    n = np.cross(ab, ac)
+    n2 = (n * n).sum(1)
+    # circumcenter: cc = a + [|ac|^2 (n x ab) + |ab|^2 (ac x n)] / (2 n.n)
+    denom = np.maximum(2.0 * n2, 1e-300)
+    cc = a + ((ac * ac).sum(1)[:, None] * np.cross(n, ab)
+              + (ab * ab).sum(1)[:, None] * np.cross(ac, n)) / denom[:, None]
+    R2 = ((a - cc) ** 2).sum(1)
+    nhat = n / np.sqrt(np.maximum(n2, 1e-300))[:, None]
+
+    jpts = jnp.asarray(pts, jnp.float32)
+    jmask = jnp.ones(len(pts), bool)
+    lo_pts = pts.min(axis=0)
+
+    keep = np.zeros(len(tri), bool)
+    for r in radii:
+        cand = R2 <= r * r
+        if not cand.any():
+            continue
+        h = np.sqrt(np.maximum(r * r - R2[cand], 0.0))
+        centers = np.concatenate([cc[cand] + h[:, None] * nhat[cand],
+                                  cc[cand] - h[:, None] * nhat[cand]])
+        gh = grid_hash_build(jpts, jmask, jnp.asarray(lo_pts - r,
+                                                     jnp.float32),
+                             jnp.asarray(r, jnp.float32), dims, slots)
+        _, d = grid_hash_query(gh, jpts, jnp.asarray(centers, jnp.float32),
+                               jnp.ones(len(centers), bool), dims)
+        d = np.asarray(d)
+        m = len(centers) // 2
+        # empty = nothing strictly inside the ball (the face's own three
+        # vertices sit exactly ON it; tolerance for f32 rounding)
+        empty = d >= r * (1.0 - 1e-4)
+        keep[cand] |= empty[:m] | empty[m:]
+
+    tri = tri[keep]
+    # orient along vertex normals when present, else outward from centroid
+    fa, fb, fc = pts[tri[:, 0]], pts[tri[:, 1]], pts[tri[:, 2]]
+    nrm = np.cross(fb - fa, fc - fa)
+    if pc.normals is not None:
+        vn = np.asarray(pc.normals, np.float64)
+        ref = vn[tri[:, 0]] + vn[tri[:, 1]] + vn[tri[:, 2]]
+    else:
+        ref = (fa + fb + fc) / 3 - pts.mean(axis=0)
+    flip = (nrm * ref).sum(1) < 0
+    tri[flip] = tri[flip][:, ::-1]
+    return TriangleMesh(vertices=pts.astype(np.float32),
+                        triangles=tri.astype(np.int64))
+
+
 def alpha_shape(pc: PointCloud, alpha: float | None = None
                 ) -> TriangleMesh:
     """Second reconstruction path (ply_to_stl.py:65-91 offers BPA next to

@@ -257,6 +257,44 @@ def test_alpha_shape_sphere(rng):
     assert out_frac > 0.95, out_frac
 
 
+def test_ball_pivot_sphere(rng):
+    """BPA (ply_to_stl.py:65-91 'bpa' method, the reference's default):
+    r-exposed-face formulation must cover a well-sampled sphere with
+    correctly oriented triangles, and a too-small radius must reject
+    coarse regions (the defining BPA behavior vs Poisson smoothing)."""
+    from repas_tpu.cloud.reconstruct import ball_pivot, mean_nn_spacing
+    from repas_tpu.io.ply import PointCloud
+
+    v = rng.normal(size=(2000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = (v * 0.1).astype(np.float32)
+    pc = PointCloud(points=pts)
+    mesh = ball_pivot(pc)
+    assert len(mesh.triangles) > 500
+    used = np.unique(np.asarray(mesh.triangles))
+    r = np.linalg.norm(mesh.vertices[used], axis=1)
+    np.testing.assert_allclose(r, 0.1, atol=1e-3)   # exact input samples
+    assert len(used) > 1500
+    tris = np.asarray(mesh.triangles)
+    a, b, c = (mesh.vertices[tris[:, 0]], mesh.vertices[tris[:, 1]],
+               mesh.vertices[tris[:, 2]])
+    nrm = np.cross(b - a, c - a)
+    out_frac = ((nrm * ((a + b + c) / 3)).sum(1) > 0).mean()
+    assert out_frac > 0.95, out_frac
+    # every kept face's pivot ball is genuinely empty: circumradius of
+    # every face <= the largest ladder radius
+    la = np.linalg.norm(b - a, axis=1)
+    lb = np.linalg.norm(c - b, axis=1)
+    lc = np.linalg.norm(a - c, axis=1)
+    area4 = 2.0 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    R = la * lb * lc / np.maximum(area4, 1e-30)
+    assert (R <= 1.6 * mean_nn_spacing(np.asarray(pc.points)) + 1e-9).all()
+    # a radius far below the sampling density leaves holes (BPA contract)
+    tiny = ball_pivot(pc, radii=[0.2 * mean_nn_spacing(
+        np.asarray(pc.points))])
+    assert len(tiny.triangles) < len(mesh.triangles) * 0.2
+
+
 def test_html_viewer(tmp_path, rng):
     """Self-contained interactive viewer artifact: embedded point data
     round-trips, no external resources (works offline)."""
