@@ -23,7 +23,8 @@ from repas_tpu.canopy.segment import (apply_green_mask, green_seed_mask,
                                       refine_plant_mask)
 from repas_tpu.core.config import CanopyConfig
 from repas_tpu.kernels.image import invert_affine, transform_points_2d
-from repas_tpu.kernels.pointcloud import median_depth_window
+from repas_tpu.kernels.pointcloud import (masked_median_depth_window,
+                                           median_depth_window)
 from repas_tpu.kernels.project import deproject_pixels
 
 
@@ -91,18 +92,55 @@ def measure_plant_height(rgb: jnp.ndarray, depth_m: jnp.ndarray, K,
     plant = apply_green_mask(rgb_proc, fg, cfg.green_lo, cfg.green_hi,
                              cfg.morph_kernel)
 
-    # 5. canopy mark via projection into the bar-aligned frame
-    hp, wp = plant.shape
-    xg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
-    yg = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0)
+    # 4b. full-resolution tip recovery: a 1-2 px leaf tip does not
+    # survive decimation + 3x3 opening, so the canopy mark lands several
+    # pixels below the real plant top (measured on the checked-in canopy
+    # captures: decimated-mask top row 302-308 vs 294-296 for the
+    # full-res strict-green mask — a 10-20 mm canopy_y error; the
+    # reference's own GrabCut loses the same tip in 3 of 4 captures,
+    # which is why its recorded canopy_y values scatter 21.7 mm over a
+    # static plant). Geodesic reconstruction grows the upsampled plant
+    # mask into the FULL-RES strict-green mask: tips connected to the
+    # plant body are recovered exactly; isolated specks stay excluded.
+    # Cost: elementwise HSV + ~16 3x3 dilations at full res — stencil
+    # passes, no gathers.
+    from repas_tpu.canopy.segment import _reconstruct_by_dilation
+    from repas_tpu.kernels.image import hsv_in_range, rgb_to_hsv_cv
+
+    if dec > 1:
+        hf, wf = rgb.shape[0], rgb.shape[1]
+        strict_full = hsv_in_range(rgb_to_hsv_cv(rgb), cfg.green_lo,
+                                   cfg.green_hi)
+        marker = jnp.repeat(jnp.repeat(plant, dec, axis=0), dec, axis=1)
+        marker = jnp.pad(marker, ((0, hf - marker.shape[0]),
+                                  (0, wf - marker.shape[1])))
+        plant_scan = _reconstruct_by_dilation(marker, strict_full,
+                                              cfg.tip_reconstruct_iters)
+        # full-res pixel -> proc coords (low-res pixel i covers full-res
+        # [i*dec, i*dec+dec-1])
+        def to_proc(v):
+            return (v - (dec - 1) / 2.0) / dec
+    else:
+        plant_scan = plant
+
+        def to_proc(v):
+            return v
+
+    # 5. canopy mark via projection into the bar-aligned frame (scan at
+    # full resolution; M is a proc-coordinate affine, so project the
+    # proc-mapped full-res grid)
+    hs, ws = plant_scan.shape
+    xg = to_proc(jax.lax.broadcasted_iota(jnp.float32, (hs, ws), 1))
+    yg = to_proc(jax.lax.broadcasted_iota(jnp.float32, (hs, ws), 0))
     yr = M[1, 0] * xg + M[1, 1] * yg + M[1, 2]
     xr = M[0, 0] * xg + M[0, 1] * yg + M[0, 2]
-    yr_m = jnp.where(plant, yr, jnp.inf)
+    yr_m = jnp.where(plant_scan, yr, jnp.inf)
     y_top = jnp.min(yr_m)
     c_found = jnp.isfinite(y_top)
     # the reference takes the median x of the top mask row; the top
-    # 'row' here is the 1-px band of rotated-frame rows at the minimum
-    band = plant & (yr_m < y_top + 1.0)
+    # 'row' here is the band of rotated-frame rows within one full-res
+    # pixel of the minimum
+    band = plant_scan & (yr_m < y_top + 1.0 / dec)
     xr_band = jnp.sort(jnp.where(band, xr, jnp.inf).reshape(-1))
     cnt = jnp.sum(band)
     x_top = xr_band[jnp.maximum((cnt - 1) // 2, 0)]
@@ -112,10 +150,16 @@ def measure_plant_height(rgb: jnp.ndarray, depth_m: jnp.ndarray, K,
     Minv = invert_affine(M)
     canopy_px = to_full(transform_points_2d(Minv, canopy_rot))
 
-    # 7. canopy depth + 3D
+    # 7. canopy depth + 3D. The tip is 1-2 px wide, so the depth camera
+    # often reads the BACKGROUND through it (measured 7.9 m vs the true
+    # 1.07 m); anchor the lookup to plant-mask pixels in a wider window
+    # first, then fall back to the reference's plain medians.
     cu = jnp.round(canopy_px[0]).astype(jnp.int32)
     cv = jnp.round(canopy_px[1]).astype(jnp.int32)
-    cz = median_depth_window(depth_m, cu, cv, cfg.depth_win)
+    cz = masked_median_depth_window(depth_m, plant_scan, cu, cv,
+                                    cfg.canopy_depth_win)
+    cz = jnp.where(cz > 0, cz,
+                   median_depth_window(depth_m, cu, cv, cfg.depth_win))
     cz = jnp.where(cz > 0, cz,
                    median_depth_window(depth_m, cu, cv,
                                        cfg.depth_fallback_win))

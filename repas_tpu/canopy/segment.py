@@ -21,8 +21,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from repas_tpu.kernels.image import (hsv_in_range, morph_close, morph_open,
-                                     rgb_to_hsv_cv)
+from repas_tpu.kernels.image import (dilate, hsv_in_range, morph_close,
+                                     morph_open, rgb_to_hsv_cv)
 
 _H_BINS, _S_BINS, _V_BINS = 18, 8, 8
 
@@ -90,16 +90,48 @@ def refine_plant_mask(rgb: jnp.ndarray, seed: jnp.ndarray,
     return jax.lax.fori_loop(0, iters, body, seed)
 
 
+def _reconstruct_by_dilation(marker: jnp.ndarray, limit: jnp.ndarray,
+                             iters: int = 8, step: int = 7) -> jnp.ndarray:
+    """Geodesic reconstruction: grow `marker` inside `limit` by iterated
+    step x step dilation. Recovers thin structures (leaf tips) that
+    morphological opening erased, without re-admitting isolated specks —
+    growth only reaches limit-pixels near-CONNECTED to the marker within
+    `iters` steps. step=7 bridges the 1-3 px gaps that sensor noise and
+    color quantization punch through 1-px-wide leaf tips (measured on the
+    checked-in canopy captures: the capture-2 tip sits 3 empty rows above
+    the plant body)."""
+    def body(_, m):
+        return (dilate(m.astype(jnp.float32), step) > 0) & limit
+    return jax.lax.fori_loop(0, iters, body, marker & limit)
+
+
 def apply_green_mask(rgb: jnp.ndarray, plant_mask: jnp.ndarray,
                      lo=(35, 80, 30), hi=(85, 255, 255),
-                     kernel: int = 3) -> jnp.ndarray:
+                     kernel: int = 3, reconstruct_iters: int = 8
+                     ) -> jnp.ndarray:
     """Strict green range + MORPH_OPEN + MORPH_CLOSE on the foreground
-    (apply_green_mask, canopy_return_upgraded.py:119-131)."""
+    (apply_green_mask, canopy_return_upgraded.py:119-131), then geodesic
+    reconstruction of the pre-opening mask from the opened one.
+
+    The reconstruction step is the TPU build's fix for a defect the
+    reference pipeline shares: a 1-2 px-wide leaf tip does not survive a
+    3x3 opening, so the canopy mark lands several pixels below the real
+    plant top (the reference's own recorded canopy_y values scatter
+    ~21 mm across a static scene for exactly this reason — its GrabCut
+    kept the tip in one capture and lost it in three). Growing the opened
+    mask back into the strict-green region keeps every thin tip connected
+    to the plant body while isolated green specks stay removed."""
     hsv = rgb_to_hsv_cv(rgb)
-    green = hsv_in_range(hsv, lo, hi) & plant_mask
+    strict = hsv_in_range(hsv, lo, hi)
+    green = strict & plant_mask
     g = morph_open(green.astype(jnp.float32), kernel)
-    g = morph_close(g, kernel)
-    return g > 0
+    g = morph_close(g, kernel) > 0
+    if reconstruct_iters > 0:
+        # limit = strict green alone (not gated by plant_mask): the
+        # foreground refinement's own opening may have dropped the tip,
+        # so connectivity to the opened body is the only gate growth needs
+        g = _reconstruct_by_dilation(g, strict, reconstruct_iters, step=3)
+    return g
 
 
 def canopy_level_mark(mask: jnp.ndarray):

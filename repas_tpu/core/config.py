@@ -105,6 +105,12 @@ class CanopyConfig:
     depth_fallback_win: int = 11
     proc_decimate: int = 2   # run 2-D stages at 1/dec res (depth lookups
                              # and 3-D math stay at full resolution)
+    tip_reconstruct_iters: int = 16  # full-res geodesic growth recovering
+                                     # thin leaf tips lost to decimation
+                                     # + opening (canopy/height.py step 4b)
+    canopy_depth_win: int = 25       # plant-masked median window for the
+                                     # canopy depth (thin tips are depth
+                                     # holes; see kernels/pointcloud.py)
 
 
 @dataclass(frozen=True)

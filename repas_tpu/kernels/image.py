@@ -268,10 +268,18 @@ def rgb_to_hsv_cv(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def hsv_in_range(hsv: jnp.ndarray, lo, hi) -> jnp.ndarray:
-    """cv2.inRange on an HSV image -> bool mask."""
+    """cv2.inRange on an HSV image -> bool mask.
+
+    cv2 stores HSV as uint8, so its inRange compares ROUNDED values: a
+    boundary pixel with H=34.89 rounds to 35 and passes a [35,85] hue
+    gate. Comparing raw floats excluded exactly those boundary pixels
+    (measured: the topmost canopy leaf-tip rows of the checked-in
+    captures all sit at H in [34.6, 35)), so quantize like cv2 first.
+    """
     lo = jnp.asarray(lo, jnp.float32)
     hi = jnp.asarray(hi, jnp.float32)
-    return jnp.all((hsv >= lo) & (hsv <= hi), axis=-1)
+    q = jnp.round(hsv)
+    return jnp.all((q >= lo) & (q <= hi), axis=-1)
 
 
 def gamma_lut(img: jnp.ndarray, gamma: float) -> jnp.ndarray:

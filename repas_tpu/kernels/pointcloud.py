@@ -128,6 +128,35 @@ def _fused_pointcloud_pallas(depth_u16, rgb, K, scale):
     return jnp.transpose(out, (1, 2, 0))
 
 
+def masked_median_depth_window(depth_m: jnp.ndarray, mask: jnp.ndarray,
+                               u, v, win: int = 25) -> jnp.ndarray:
+    """Median of valid depths over MASK-TRUE pixels in a win x win window
+    around (u,v); 0.0 when none.
+
+    Robustifies depth lookup at thin structures: a plant leaf tip is
+    1-2 px wide, so the plain 5x5 median (median_depth_window) reads the
+    background *through* it (measured 7.9 m vs the true 1.07 m on the
+    checked-in canopy captures). Restricting the median to plant-mask
+    pixels in a wider window anchors the depth to the plant body."""
+    h, w = depth_m.shape
+    r = max(1, win // 2)
+    u = jnp.clip(jnp.asarray(u, jnp.int32), 0, w - 1)
+    v = jnp.clip(jnp.asarray(v, jnp.int32), 0, h - 1)
+    du = jnp.arange(-r, r + 1)
+    uu = jnp.clip(u + du[None, :], 0, w - 1)
+    vv = jnp.clip(v + du[:, None], 0, h - 1)
+    patch = depth_m[vv, uu]
+    mpatch = mask[vv, uu]
+    valid = jnp.isfinite(patch) & (patch > 0) & mpatch
+    n = jnp.sum(valid)
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    vals = jnp.sort(jnp.where(valid, patch, big).reshape(-1))
+    lo = vals[jnp.maximum((n - 1) // 2, 0)]
+    hi = vals[jnp.maximum(n // 2, 0)]
+    med = 0.5 * (lo + hi)
+    return jnp.where(n > 0, med, 0.0)
+
+
 def median_depth_window(depth_m: jnp.ndarray, u, v, win: int = 5) -> jnp.ndarray:
     """Median of valid depths in a win x win window around (u,v).
 
