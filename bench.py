@@ -182,12 +182,57 @@ def _time_robust_ladder():
     return frames.shape[0] * iters / dt, n_found
 
 
+def _time_registration_1m():
+    """Reference-scale global registration (icp_cad_model.py:38-42 samples
+    1M points): grid normals + FPFH + chunked matching + batched RANSAC at
+    1,000,000 points on the chip. Returns wall seconds (steady-state)."""
+    import jax
+    import jax.numpy as jnp
+
+    from repas_tpu.cloud.fpfh import (fpfh_features, match_features,
+                                      ransac_registration)
+    from repas_tpu.cloud.normals import estimate_normals_grid
+
+    n = 1_000_000
+    rng = np.random.default_rng(7)
+    pts = np.column_stack([
+        rng.uniform(-0.5, 0.5, n), rng.uniform(-0.5, 0.5, n),
+        np.zeros(n)]).astype(np.float32)
+    pts[:, 2] = (0.08 * np.sin(7 * pts[:, 0]) * np.cos(5 * pts[:, 1])
+                 + 0.05 * pts[:, 0] ** 2)
+    tgt = jnp.asarray(pts)
+    src = jnp.asarray(
+        (pts - np.array([0.05, -0.04, 0.03], np.float32))
+        @ np.array([[0.9950, 0.0998, 0], [-0.0998, 0.9950, 0], [0, 0, 1]],
+                   np.float32))
+    mask = jnp.ones(n, bool)
+
+    def run():
+        nrm_s, _ = estimate_normals_grid(src, mask, k=16, radius=0.02,
+                                         camera=jnp.array([0., 0., 5.]))
+        nrm_t, _ = estimate_normals_grid(tgt, mask, k=16, radius=0.02,
+                                         camera=jnp.array([0., 0., 5.]))
+        f_s = fpfh_features(src, nrm_s, mask, radius=0.02, k=16)
+        f_t = fpfh_features(tgt, nrm_t, mask, radius=0.02, k=16)
+        corr, _ = match_features(f_s, mask, f_t, mask, chunk=512)
+        T, fit = ransac_registration(src, mask, tgt, mask, corr,
+                                     dist_thresh=0.03, n_hypotheses=8192)
+        return float(np.asarray(fit)), np.asarray(T)
+
+    fit, T = run()                       # compile + correctness
+    if fit < 0.3:
+        return None
+    t0 = time.perf_counter()
+    run()
+    return time.perf_counter() - t0
+
+
 def _cpu_probe():
     fps = _time_pipeline(CPU_BATCH, CPU_ITERS)
     print(json.dumps({"cpu_fps": fps}), flush=True)
 
 
-def _record(fps, cpu_fps, cpu_cached, robust_fps, n_found):
+def _record(fps, cpu_fps, cpu_cached, robust_fps, n_found, reg_1m_s=None):
     return {
         "metric": "detect_pnp_pointcloud_720p",
         "value": round(fps, 2),
@@ -199,6 +244,7 @@ def _record(fps, cpu_fps, cpu_cached, robust_fps, n_found):
         "mpts_per_s": round(fps * H * W / 1e6, 1),
         "robust_real_fps": round(robust_fps, 2) if robust_fps else None,
         "robust_tags_found": n_found,
+        "registration_1m_pts_s": round(reg_1m_s, 2) if reg_1m_s else None,
     }
 
 
@@ -214,8 +260,9 @@ def main():
     cpu_fps = state.get("cpu_fps")
     robust_fps = state.get("robust_real_fps")
     n_found = state.get("robust_tags_found")
+    reg_1m = state.get("registration_1m_pts_s")
     print(json.dumps(_record(fps, cpu_fps, cpu_fps is not None,
-                             robust_fps, n_found)), flush=True)
+                             robust_fps, n_found, reg_1m)), flush=True)
 
     # ---- extras, each wall-clock gated ------------------------------
     cpu_cached = True
@@ -245,12 +292,20 @@ def main():
         except Exception:
             pass
 
+    if _remaining() > 240:
+        try:
+            r = _time_registration_1m()
+            if r is not None:
+                reg_1m = r
+        except Exception:
+            pass
+
     _save_state(cpu_fps=cpu_fps, robust_real_fps=robust_fps,
-                robust_tags_found=n_found)
+                robust_tags_found=n_found, registration_1m_pts_s=reg_1m)
     # final superset line (drivers that parse the LAST json line get the
     # full record; ones that parse the first still got a valid headline)
     print(json.dumps(_record(fps, cpu_fps, cpu_cached,
-                             robust_fps, n_found)), flush=True)
+                             robust_fps, n_found, reg_1m)), flush=True)
 
 
 if __name__ == "__main__":

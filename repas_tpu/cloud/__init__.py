@@ -1,6 +1,6 @@
 from repas_tpu.cloud.filters import (radius_mask, statistical_outlier_mask,
                                      voxel_downsample)
-from repas_tpu.cloud.normals import estimate_normals
+from repas_tpu.cloud.normals import estimate_normals, estimate_normals_grid
 from repas_tpu.cloud.knn import (grid_hash_build, grid_hash_query,
                                  grid_hash_query_knn, knn_neighbors,
                                  nearest_neighbors)
@@ -9,7 +9,8 @@ from repas_tpu.cloud.generate import create_masked_pointcloud
 
 __all__ = [
     "radius_mask", "statistical_outlier_mask", "voxel_downsample",
-    "estimate_normals", "grid_hash_build", "grid_hash_query",
+    "estimate_normals", "estimate_normals_grid", "grid_hash_build",
+    "grid_hash_query",
     "nearest_neighbors", "tag_frame_aabb_crop", "aabb_mask", "obb_from_tag",
     "create_masked_pointcloud", "grid_hash_query_knn", "knn_neighbors",
 ]

@@ -23,19 +23,22 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("k", "bins", "dims", "slots"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "bins", "dims", "slots", "chunk"))
 def fpfh_features(pts: jnp.ndarray, normals: jnp.ndarray,
                   mask: jnp.ndarray, radius: float,
                   k: int = 32, bins: int = 11,
-                  dims: tuple = (48, 48, 48), slots: int = 48
-                  ) -> jnp.ndarray:
+                  dims: tuple = (48, 48, 48), slots: int = 48,
+                  chunk: int = 65536) -> jnp.ndarray:
     """(N,33) FPFH descriptors (zero rows where mask is False).
 
     Neighborhoods come from a grid-hash k-NN over the FULL cloud (no
     global subsample — the r1 2048-point shortcut mis-scaled
     neighborhoods on reference-size clouds, icp_cad_model.py:38-42
-    samples 1M points). Cost: O(N * 27 * slots) candidate distances +
-    one (N, k) SPFH gather; scales to 100k+ points on both backends.
+    samples 1M points). Both the SPFH pass and the neighbor-weighted sum
+    run as lax.map chunks of `chunk` points, so peak memory is
+    O(chunk * k * bins) no matter the cloud size — at N=1M the unchunked
+    (N,k,33) SPFH gather alone was 4.2 GB.
     """
     from repas_tpu.cloud.knn import knn_neighbors
 
@@ -43,45 +46,77 @@ def fpfh_features(pts: jnp.ndarray, normals: jnp.ndarray,
                               dims=dims, slots=slots)
     nn = idx[:, 1:]                    # drop self (nearest)
     dist = dist[:, 1:]
-    within = (dist <= radius) & (nn >= 0)
-    nn_s = jnp.maximum(nn, 0)
+    n = pts.shape[0]
+    chunk = min(chunk, n)
+    n_chunks = (n + chunk - 1) // chunk
+    pad = n_chunks * chunk - n
 
-    p2 = pts[nn_s]                     # (N,k,3) neighbor positions
-    n2 = normals[nn_s]                 # (N,k,3) neighbor normals
-    p1 = pts[:, None, :]
-    n1 = normals[:, None, :]
+    def padded(a, fill):
+        fills = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, fills]).reshape((n_chunks, chunk)
+                                                   + a.shape[1:])
 
-    dvec = p2 - p1
-    dist = jnp.where(within, dist, 1.0) + 1e-12
-    d_hat = dvec / dist[..., None]
+    pts_c = padded(pts, 0.0)
+    nrm_c = padded(normals, 0.0)
+    nn_c = padded(nn, -1)
+    dist_c = padded(dist, jnp.inf)
 
-    # Darboux frame (u,v,w) at the source point
-    u = jnp.broadcast_to(n1, d_hat.shape)
-    v = jnp.cross(d_hat, u)
-    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
-    w = jnp.cross(u, v)
+    def spfh_chunk(args):
+        p1f, n1f, nnf, df = args
+        within = (df <= radius) & (nnf >= 0)
+        nn_s = jnp.maximum(nnf, 0)
+        p2 = pts[nn_s]                 # (C,k,3) neighbor positions
+        n2 = normals[nn_s]             # (C,k,3) neighbor normals
+        p1 = p1f[:, None, :]
+        n1 = n1f[:, None, :]
 
-    alpha = jnp.sum(v * n2, axis=-1)                       # in [-1,1]
-    phi = jnp.sum(u * d_hat, axis=-1)                      # in [-1,1]
-    theta = jnp.arctan2(jnp.sum(w * n2, axis=-1),
-                        jnp.sum(u * n2, axis=-1))          # [-pi,pi]
+        dvec = p2 - p1
+        d = jnp.where(within, df, 1.0) + 1e-12
+        d_hat = dvec / d[..., None]
 
-    def hist(x, lo, hi):
-        b = jnp.clip(((x - lo) / (hi - lo) * bins).astype(jnp.int32),
-                     0, bins - 1)
-        onehot = jax.nn.one_hot(b, bins, dtype=jnp.float32)
-        return jnp.sum(onehot * within[..., None], axis=1)  # (N,bins)
+        # Darboux frame (u,v,w) at the source point
+        u = jnp.broadcast_to(n1, d_hat.shape)
+        v = jnp.cross(d_hat, u)
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+        w = jnp.cross(u, v)
 
-    spfh = jnp.concatenate([hist(alpha, -1.0, 1.0),
-                            hist(phi, -1.0, 1.0),
-                            hist(theta, -jnp.pi, jnp.pi)], axis=1)  # (N,33)
-    cnt = jnp.maximum(jnp.sum(within, axis=1), 1.0)
-    spfh = spfh / cnt[:, None]
+        alpha = jnp.sum(v * n2, axis=-1)                   # in [-1,1]
+        phi = jnp.sum(u * d_hat, axis=-1)                  # in [-1,1]
+        theta = jnp.arctan2(jnp.sum(w * n2, axis=-1),
+                            jnp.sum(u * n2, axis=-1))      # [-pi,pi]
+
+        def hist(x, lo, hi):
+            b = jnp.clip(((x - lo) / (hi - lo) * bins).astype(jnp.int32),
+                         0, bins - 1)
+            onehot = jax.nn.one_hot(b, bins, dtype=jnp.float32)
+            return jnp.sum(onehot * within[..., None], axis=1)  # (C,bins)
+
+        spfh = jnp.concatenate([hist(alpha, -1.0, 1.0),
+                                hist(phi, -1.0, 1.0),
+                                hist(theta, -jnp.pi, jnp.pi)],
+                               axis=1)                     # (C,33)
+        cnt = jnp.maximum(jnp.sum(within, axis=1), 1.0)
+        return spfh / cnt[:, None], cnt, within
+
+    spfh, cnt, within = jax.lax.map(spfh_chunk,
+                                    (pts_c, nrm_c, nn_c, dist_c))
+    spfh = spfh.reshape(-1, 3 * bins)[:n]                  # (N,33)
+    cnt = cnt.reshape(-1)[:n]
+    within = within.reshape(-1, nn.shape[1])[:n]
 
     # FPFH = SPFH(p) + (1/k) sum_j SPFH(j)/dist_j over the true neighbors
-    wgt = jnp.where(within, 1.0 / dist, 0.0)
-    neigh = jnp.einsum("nk,nkf->nf", wgt, spfh[nn_s]) / cnt[:, None]
-    fpfh = spfh + neigh
+    def neigh_chunk(args):
+        nnf, df, wf, sf, cf = args
+        nn_s = jnp.maximum(nnf, 0)
+        d = jnp.where(wf, df, 1.0) + 1e-12
+        wgt = jnp.where(wf, 1.0 / d, 0.0)
+        return sf + jnp.einsum("nk,nkf->nf", wgt,
+                               spfh[nn_s]) / cf[:, None]
+
+    fpfh = jax.lax.map(neigh_chunk,
+                       (nn_c, dist_c, padded(within, False),
+                        padded(spfh, 0.0), padded(cnt, 1.0)))
+    fpfh = fpfh.reshape(-1, 3 * bins)[:n]
     return jnp.where(mask[:, None], fpfh, 0.0)
 
 

@@ -10,6 +10,60 @@ import jax
 import jax.numpy as jnp
 
 
+@functools.partial(jax.jit, static_argnames=("k", "dims", "slots", "chunk"))
+def estimate_normals_grid(pts: jnp.ndarray, mask: jnp.ndarray, k: int = 16,
+                          radius: float = 0.02,
+                          dims: tuple = (48, 48, 48), slots: int = 48,
+                          chunk: int = 65536, camera=None):
+    """Reference-workload-scale normals (icp_cad_model.py samples 1M
+    points): grid-hash k-NN (chunked, memory-bounded at any N) + per-chunk
+    PCA, instead of estimate_normals' (N, sample) dense distance matrix
+    (16 GB at N=1M). Exact same Darboux conventions/orientation.
+
+    Returns (normals (N,3), ok (N,) bool)."""
+    from repas_tpu.cloud.knn import knn_neighbors
+
+    cam = jnp.zeros(3, pts.dtype) if camera is None else jnp.asarray(camera)
+    n = pts.shape[0]
+    idx, dist = knn_neighbors(pts, mask, radius, k + 1,
+                              dims=dims, slots=slots)
+    idx = idx[:, 1:]                       # drop self
+    dist = dist[:, 1:]
+
+    chunk = min(chunk, n)
+    n_chunks = (n + chunk - 1) // chunk
+    pad = n_chunks * chunk - n
+
+    def padded(a, fill):
+        fills = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, fills]).reshape((n_chunks, chunk)
+                                                   + a.shape[1:])
+
+    def chunk_fn(args):
+        p, nn, d = args
+        within = (d <= radius) & (nn >= 0)
+        nbr = pts[jnp.maximum(nn, 0)]                     # (C,k,3)
+        w = within.astype(pts.dtype)[..., None]
+        cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+        mu = jnp.sum(nbr * w, axis=1) / cnt
+        dd = (nbr - mu[:, None, :]) * w
+        cov = jnp.einsum("nki,nkj->nij", dd, dd)
+        tr = jnp.trace(cov, axis1=1, axis2=2)[:, None, None]
+        A = cov + 1e-12 * (tr + 1e-30) * jnp.eye(3)[None]
+        _, vecs = jnp.linalg.eigh(A)
+        nrm = vecs[:, :, 0]
+        flip = jnp.sum(nrm * (cam[None, :] - p), axis=1) < 0
+        nrm = jnp.where(flip[:, None], -nrm, nrm)
+        ok = jnp.sum(within, axis=1) >= 3
+        return nrm, ok
+
+    nrm, ok = jax.lax.map(chunk_fn, (padded(pts, 0.0), padded(idx, -1),
+                                     padded(dist, jnp.inf)))
+    nrm = nrm.reshape(-1, 3)[:n]
+    ok = ok.reshape(-1)[:n] & mask
+    return jnp.where(ok[:, None], nrm, 0.0), ok
+
+
 @functools.partial(jax.jit, static_argnames=("k", "sample"))
 def estimate_normals(pts: jnp.ndarray, mask: jnp.ndarray, k: int = 30,
                      radius: float = 0.02, sample: int = 4096,

@@ -178,3 +178,103 @@ def test_detect_tags_robust_staged(rng):
     for i in range(2):
         ids = det.ids[i][det.valid[i]].tolist()
         assert 12 in ids, f"frame {i}: {ids}"
+
+
+def test_normals_grid_matches_surface(rng):
+    """estimate_normals_grid (the 1M-scale chunked path) recovers analytic
+    surface normals on a known smooth surface, and its chunking is
+    invariant up to fp rounding (per-point work is independent of the
+    chunk split; different chunk shapes compile to different XLA
+    schedules, so equality is allclose, not bitwise)."""
+    from repas_tpu.cloud.normals import estimate_normals_grid
+
+    n = 4000
+    xy = rng.uniform(-0.5, 0.5, (n, 2)).astype(np.float32)
+    z = 0.2 * xy[:, 0] + 0.1 * xy[:, 1]            # plane: known normal
+    pts = jnp.asarray(np.column_stack([xy, z]).astype(np.float32))
+    mask = jnp.ones(n, bool)
+    true_n = np.array([-0.2, -0.1, 1.0])
+    true_n /= np.linalg.norm(true_n)
+
+    nrm, ok = estimate_normals_grid(pts, mask, k=16, radius=0.06,
+                                    camera=jnp.array([0.0, 0.0, 5.0]))
+    ok = np.asarray(ok)
+    assert ok.mean() > 0.95
+    dots = np.abs(np.asarray(nrm)[ok] @ true_n)
+    assert np.median(dots) > 0.999, float(np.median(dots))
+
+    nrm2, ok2 = estimate_normals_grid(pts, mask, k=16, radius=0.06,
+                                      chunk=577,
+                                      camera=jnp.array([0.0, 0.0, 5.0]))
+    np.testing.assert_allclose(np.asarray(nrm), np.asarray(nrm2),
+                               atol=2e-4)
+    np.testing.assert_array_equal(ok, np.asarray(ok2))
+
+
+def test_fpfh_chunk_invariance(rng):
+    """fpfh_features at any chunk size returns identical descriptors."""
+    pts = jnp.asarray(_bumpy_cloud(rng, n=900))
+    mask = jnp.ones(900, bool)
+    from repas_tpu.cloud.normals import estimate_normals_grid
+
+    nrm, _ = estimate_normals_grid(pts, mask, k=16, radius=0.08)
+    f_whole = fpfh_features(pts, nrm, mask, radius=0.08, k=16)
+    f_chunk = fpfh_features(pts, nrm, mask, radius=0.08, k=16, chunk=191)
+    # histogram bin assignment is integer (robust to schedule-level fp
+    # differences); the weighted sums round at ~1e-6 relative
+    np.testing.assert_allclose(np.asarray(f_whole), np.asarray(f_chunk),
+                               atol=1e-3)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("REPAS_GOLDEN"),
+                    reason="set REPAS_GOLDEN=1 (reference-scale registration)")
+def test_global_registration_reference_scale(rng):
+    """VERDICT r2 next #8: the reference samples 1M points with 200k RANSAC
+    iterations (icp_cad_model.py:38-42). Run the full grid-normals + FPFH +
+    RANSAC chain at 1M points on the TPU backend (250k on the CPU suite so
+    the golden stays tractable on this 1-core host), bounded memory, no
+    silent subsampling, and recover a known pose."""
+    import os
+    import time
+
+    from repas_tpu.cloud.normals import estimate_normals_grid
+
+    n = 1_000_000 if os.environ.get("REPAS_TEST_TPU") else 250_000
+    pts = np.column_stack([
+        rng.uniform(-0.5, 0.5, n), rng.uniform(-0.5, 0.5, n),
+        np.zeros(n)]).astype(np.float32)
+    pts[:, 2] = (0.08 * np.sin(7 * pts[:, 0]) * np.cos(5 * pts[:, 1])
+                 + 0.05 * pts[:, 0] ** 2
+                 + 0.04 * np.sin(3 * pts[:, 1]))
+    tgt = pts
+    rv = np.array([0.04, -0.06, 0.30], dtype=np.float32)
+    t = np.array([0.06, -0.04, 0.05], dtype=np.float32)
+    R = np.asarray(rodrigues(jnp.asarray(rv)))
+    src = ((tgt - t) @ R).astype(np.float32)
+
+    mask = jnp.ones(n, bool)
+    radius = 0.02
+    t0 = time.perf_counter()
+    nrm_s, _ = estimate_normals_grid(jnp.asarray(src), mask, k=16,
+                                     radius=radius,
+                                     camera=jnp.array([0., 0., 5.]))
+    nrm_t, _ = estimate_normals_grid(jnp.asarray(tgt), mask, k=16,
+                                     radius=radius,
+                                     camera=jnp.array([0., 0., 5.]))
+    f_s = fpfh_features(jnp.asarray(src), nrm_s, mask, radius=radius, k=16)
+    f_t = fpfh_features(jnp.asarray(tgt), nrm_t, mask, radius=radius, k=16)
+    corr, _ = match_features(f_s, mask, f_t, mask, chunk=512)
+    T, fitness = ransac_registration(jnp.asarray(src), mask,
+                                     jnp.asarray(tgt), mask, corr,
+                                     dist_thresh=0.03,
+                                     n_hypotheses=8192)
+    T = np.asarray(T)
+    dt = time.perf_counter() - t0
+    print(f"[registration {n} pts] {dt:.1f} s wall "
+          f"(fitness {float(fitness):.3f})")
+    T_true = np.asarray(make_T(jnp.asarray(R), jnp.asarray(t)))
+    assert float(fitness) > 0.4, float(fitness)
+    ang = float(rotation_angle_deg(jnp.asarray(T[:3, :3], jnp.float32),
+                                   jnp.asarray(T_true[:3, :3], jnp.float32)))
+    assert ang < 5.0, ang
+    np.testing.assert_allclose(T[:3, 3], T_true[:3, 3], atol=0.02)
