@@ -115,43 +115,47 @@ def detect_tags_robust(img: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _stage_base(frames, config: DetectorConfig):
-    """[raw, blurred] decimated sweep per frame -> merged Detections."""
+    """[raw, CLAHE] decimated sweep per frame -> merged Detections.
+
+    Raw-only recall on the 8 checked-in real captures is 2/8; CLAHE alone
+    is 7/8 (measured r3) — together they accept everything a decimated
+    pass can, so gamma/blur variants never earn their cost here (blur:
+    157 ms per 8 frames for 1/8 recall)."""
     def one(img):
         gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
-        batch = jnp.stack([gray, gaussian_blur(gray, 1.0)])
-        det = jax.vmap(lambda g: detect_tags(g, config))(batch)
-        return _merge_by_margin([det], config.max_detections)
-    return jax.vmap(one)(frames)
-
-
-@functools.partial(jax.jit, static_argnames=("config", "gamma"))
-def _stage_enhance(frames, config: DetectorConfig, gamma: float):
-    """[CLAHE, gamma] decimated sweep per frame."""
-    def one(img):
-        gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
-        batch = jnp.stack([clahe(gray), gamma_lut(gray, gamma)])
+        batch = jnp.stack([gray, clahe(gray)])
         det = jax.vmap(lambda g: detect_tags(g, config))(batch)
         return _merge_by_margin([det], config.max_detections)
     return jax.vmap(one)(frames)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _stage_fullres(frames, config: DetectorConfig):
-    """[raw, CLAHE] decimate-1 (full resolution) sweep per frame."""
+def _escalate_fullres(frames, cur: Detections, pad_idx,
+                      config: DetectorConfig) -> Detections:
+    """Full-resolution [raw, CLAHE] sweep on the frame subset `pad_idx`,
+    margin-merged into `cur` and scattered back — ONE device program.
+
+    The previous formulation did the gather, per-field indexing, merge,
+    and write-back as eager host ops: ~20 dispatches x ~35 ms tunnel
+    round-trip = ~0.7 s per call before any compute. Fused, escalation
+    costs one dispatch. `pad_idx` repeats indices to fill its bucket;
+    duplicate rows compute identical merges, so the trailing .set is
+    benign."""
     cfg1 = dataclasses.replace(config, quad_decimate=1.0)
+
     def one(img):
         gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
         batch = jnp.stack([gray, clahe(gray)])
         det = jax.vmap(lambda g: detect_tags(g, cfg1))(batch)
         return _merge_by_margin([det], config.max_detections)
-    return jax.vmap(one)(frames)
 
-
-@functools.partial(jax.jit, static_argnames=("D",))
-def _merge_pairs(cur: Detections, new: Detections, D: int) -> Detections:
-    """Batched two-set margin merge (jitted: keeps the escalation path
-    free of eager per-op dispatches on the tunneled TPU)."""
-    return jax.vmap(lambda a_, b_: _merge_by_margin([a_, b_], D))(cur, new)
+    det_s = jax.vmap(one)(frames[pad_idx])
+    cur_sub = jax.tree_util.tree_map(lambda a: a[pad_idx], cur)
+    merged = jax.vmap(
+        lambda a, b: _merge_by_margin([a, b], config.max_detections)
+    )(cur_sub, det_s)
+    return jax.tree_util.tree_map(
+        lambda a, m: a.at[pad_idx].set(m), cur, merged)
 
 
 def _bucket(n: int) -> int:
@@ -169,39 +173,27 @@ def detect_tags_robust_staged(frames, config: DetectorConfig =
     vis_tool_april_tag_pose_validaiton.py:65-86: try, then escalate only
     on failure), batched per stage:
 
-      A. [raw, blur] decimated sweep on every frame
-      B. [CLAHE, gamma] decimated sweep, only frames with no accepted tag
-      C. [raw, CLAHE] full-resolution sweep, only frames still empty
+      A. [raw, CLAHE] decimated sweep on every frame
+      B. [raw, CLAHE] full-resolution sweep, only frames with no
+         accepted tag (decimation can destroy small/low-contrast tags:
+         capture 5 of the checked-in 8 decodes hamming 6-10 decimated
+         but margin ~120 at full res)
 
-    Frames that escalate merge all their stages' detections by decision
+    Frames that escalate merge both stages' detections by decision
     margin. Escalation subsets pad to power-of-2 buckets so at most
-    log2(N)+1 shapes ever compile per stage. On the 8 checked-in real
-    captures this is several-fold cheaper than the unconditional ladder
-    (stage C costs ~66 ms/frame; most frames accept at A/B).
+    log2(N)+1 shapes ever compile for stage B. The only host round-trips
+    per call are the two (N,)-bool `found` masks; everything else is one
+    fused device program per stage (gather -> detect -> merge -> scatter).
+    `gamma` is kept for API compatibility; the gamma variant never beat
+    CLAHE on recall (6/8 vs 7/8, and never uniquely) so it no longer
+    runs here — detect_tags_robust still offers it.
     """
+    del gamma
     frames = jnp.asarray(frames)
-    D = config.max_detections
-    fields = [f.name for f in dataclasses.fields(Detections)]
     det = _stage_base(frames, config)
-    # np.array (copy): asarray views of device buffers are read-only
-    result = jax.tree_util.tree_map(lambda x: np.array(x), det)
-
-    def escalate(stage_fn, need_idx, *args):
-        b = _bucket(len(need_idx))
-        pad = np.resize(need_idx, b)           # repeat-pad to the bucket
-        sub = frames[jnp.asarray(pad)]
-        det_s = stage_fn(sub, config, *args)
-        cur = Detections(**{f: jnp.asarray(getattr(result, f)[pad])
-                            for f in fields})
-        merged = _merge_pairs(cur, det_s, D)
-        merged = jax.tree_util.tree_map(np.asarray, merged)
-        for f in fields:
-            getattr(result, f)[need_idx] = getattr(merged, f)[:len(need_idx)]
-
-    found = result.valid.any(axis=1)
-    if not found.all():
-        escalate(_stage_enhance, np.nonzero(~found)[0], gamma)
-        found = result.valid.any(axis=1)
+    found = np.asarray(det.valid).any(axis=1)
     if not found.all() and config.quad_decimate > 1:
-        escalate(_stage_fullres, np.nonzero(~found)[0])
-    return result
+        need = np.nonzero(~found)[0]
+        pad = np.resize(need, _bucket(len(need)))
+        det = _escalate_fullres(frames, det, jnp.asarray(pad), config)
+    return det

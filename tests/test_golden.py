@@ -479,3 +479,164 @@ def test_three_pose_vertical_translation(reference_root, jnp):
         dz_depth = poses[b][2] - poses[a][2]
         assert abs(dz_pnp - dz_depth) < 0.010, (
             f"{a}->{b}: PnP dz {dz_pnp:.4f} vs depth dz {dz_depth:.4f}")
+
+
+def _write_pp(path, pts):
+    """Write a MeshLab picked-points XML file (the .pp format
+    point_correspondence_error.py:6-32 parses)."""
+    rows = "\n".join(
+        f' <point x="{p[0]}" y="{p[1]}" z="{p[2]}" name="{i}" active="1"/>'
+        for i, p in enumerate(pts))
+    path.write_text("<!DOCTYPE PickedPoints>\n<PickedPoints>\n"
+                    f"{rows}\n</PickedPoints>\n")
+
+
+def test_full_chain_configs4(reference_root, jnp, tmp_path):
+    """BASELINE configs[4] end-to-end chain on a REAL capture (VERDICT r2
+    next #7): replay capture -> pose -> tag-anchored crop -> CAD placement
+    -> ICP refinement -> surface reconstruction -> correspondence +
+    point-to-surface error reports, each CLI stage consuming the previous
+    stage's artifacts + sidecar meta JSON (the reference's disk contract,
+    SURVEY.md §5.4; flow: mpa_icp_export.py:293-512,
+    april_tag_bg_removal_pl.py:554-601, ply_to_stl.py,
+    point_correspondence_error.py, visualize_error.py).
+
+    The CAD is synthesized from the cropped scene itself, expressed in the
+    anchor-tag placement frame (mm) and perturbed by a known rigid motion
+    (~2 mm / 1.5 deg), so the chain has exact ground truth: placement must
+    land it in ICP's basin, ICP must pull it back onto the scene, and the
+    error reports must grade the result as sub-5-mm.
+    """
+    import json
+
+    from repas_tpu.apps import (crop_scene, error_report, estimate_pose,
+                                place_cad, ply_to_stl)
+    from repas_tpu.core.config import DetectorConfig
+    from repas_tpu.detect import detect_tags
+    from repas_tpu.io.image import write_depth_png, write_image
+    from repas_tpu.io.meta import read_meta
+    from repas_tpu.io.ply import PointCloud, read_ply, write_ply
+    from repas_tpu.io.replay import ReplayBackend
+
+    intr_json = f"{RS_CAL}/factory_color_intrinsics_1280_720.json"
+    rb = ReplayBackend(reference_root /
+                       "realsense_d415i/testing_scripts/aligned_outputs")
+
+    # pick the first capture where the plain (non-ladder) detector the
+    # crop/place CLIs use finds tag 16 and a depth pair exists
+    scene = None
+    for f in rb.read_all():
+        depth = f.depth_meters()
+        if depth is None:
+            continue
+        det = detect_tags(jnp.asarray(f.color), DetectorConfig())
+        ids = np.asarray(det.ids)[np.asarray(det.valid)]
+        if 16 in ids:
+            scene = (f.color, depth)
+            break
+    assert scene is not None, "no capture with tag 16 + depth"
+    color, depth = scene
+    # the checked-in aligned depth is 640x360 (half-res, color-aligned):
+    # nearest-upsample to the color grid
+    sy, sx = (color.shape[0] // depth.shape[0],
+              color.shape[1] // depth.shape[1])
+    depth_hi = np.repeat(np.repeat(depth, sy, axis=0), sx, axis=1)
+    color_p = tmp_path / "rgb_20250808_000000.png"
+    depth_p = tmp_path / "depth_raw_20250808_000000.png"
+    write_image(color_p, color)
+    write_depth_png(depth_p, depth_hi)
+
+    # ---- stage 1: pose ------------------------------------------------
+    pose = estimate_pose.main(
+        ["--color", str(color_p), "--depth", str(depth_p),
+         "--intrinsics", intr_json, "--tag-size", "0.0303",
+         "--json", str(tmp_path / "pose.json")])
+    assert pose["anchor_id"] == 16
+    assert all(t["reproj_err_px"] < 2.0 for t in pose["tags"])
+    anchor = np.asarray(pose["anchor_P_depth"])
+    R_avg = np.asarray(pose["R_avg"])
+
+    # ---- stage 2: tag-anchored crop -----------------------------------
+    cropped_p = tmp_path / "cropped.ply"
+    crop_scene.main(
+        ["--color", str(color_p), "--depth", str(depth_p),
+         "--intrinsics", intr_json, "--tag-size", "0.0303",
+         "--out", str(cropped_p),
+         "--dx", "0.12", "0.12", "--dy", "0.12", "0.12",
+         "--dz", "0.05", "0.25"])
+    crop_meta = read_meta(cropped_p.with_suffix(".meta.json"))
+    assert crop_meta["kind"] == "crop"
+    assert crop_meta["n_points"] > 1000
+    # stage contract: crop's anchor agrees with the pose stage (same
+    # inputs, same solver)
+    np.testing.assert_allclose(crop_meta["anchor_P_depth"], anchor,
+                               atol=1e-5)
+    cropped = read_ply(cropped_p)
+
+    # ---- stage 3: synthesize ground-truth CAD -------------------------
+    # placement applies p -> R_avg @ (units_to_m * p) + anchor (the
+    # composition of mpa's scale/rotate/translate steps), so the exact
+    # CAD is R_avg^T (scene - anchor) / units_to_m; perturb it by a known
+    # rigid motion that ICP must undo.
+    rng = np.random.default_rng(3)
+    ang = np.deg2rad(1.5)
+    Rp = np.array([[np.cos(ang), -np.sin(ang), 0],
+                   [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    c = cropped.points.mean(axis=0)
+    t_pert = np.array([0.002, -0.0015, 0.001])
+    scene_pts = (cropped.points - c) @ Rp.T + c + t_pert
+    cad_mm = (scene_pts - anchor) @ R_avg / 0.001
+    cad_p = tmp_path / "cad.ply"
+    write_ply(cad_p, PointCloud(points=cad_mm))
+
+    # ---- stage 4: CAD placement + ICP refinement ----------------------
+    placed_p = tmp_path / "placed.ply"
+    place_cad.main(
+        ["--color", str(color_p), "--depth", str(depth_p),
+         "--intrinsics", intr_json, "--tag-size", "0.0303",
+         "--cad", str(cad_p), "--out", str(placed_p), "--icp"])
+    place_meta = read_meta(placed_p.with_suffix(".meta.json"))
+    assert place_meta["transform_order"] == [
+        "scale_about_centroid", "rotate_Ravg_about_origin",
+        "translate_origin_to_anchor", "icp_refinement"]
+    icp = place_meta["icp"]
+    assert icp["fitness"] > 0.6, icp
+    # ICP's correction should be the size of the injected perturbation
+    # (a few mm), not zero and not wild
+    assert 0.3 < icp["delta_translation_mm"] < 15.0, icp
+
+    # ---- gate: placed CAD lands back on the scene ---------------------
+    # row i of placed.ply corresponds to row i of cropped.ply by
+    # construction (transform_geometry preserves point order)
+    placed = read_ply(placed_p)
+    assert len(placed) == len(cropped)
+    resid = np.linalg.norm(placed.points - cropped.points, axis=1)
+    assert np.median(resid) < 0.004, f"median {np.median(resid)*1000:.2f} mm"
+
+    # ---- stage 5: correspondence error report -------------------------
+    idx = rng.choice(len(cropped), 6, replace=False)
+    _write_pp(tmp_path / "ref.pp", cropped.points[idx])
+    _write_pp(tmp_path / "meas.pp", placed.points[idx])
+    rep = error_report.main(
+        ["corr", "--ref", str(tmp_path / "ref.pp"),
+         "--meas", str(tmp_path / "meas.pp"),
+         "--txt", str(tmp_path / "correspondence_errors.txt"),
+         "--csv", str(tmp_path / "correspondence_errors.csv")])
+    assert rep["mean_euclidean_mm"] < 5.0, rep
+    assert (tmp_path / "correspondence_errors.txt").exists()
+    assert (tmp_path / "correspondence_errors.csv").exists()
+
+    # ---- stage 6: surface reconstruction + point-to-surface report ----
+    stl_p = tmp_path / "cropped.stl"
+    ply_to_stl.main([str(cropped_p), str(stl_p), "--method", "poisson",
+                     "--dim", "96"])
+    stl_meta = read_meta(stl_p.with_suffix(".meta.json"))
+    assert stl_meta["kind"] == "stl"
+    srep = error_report.main(
+        ["surface", "--cloud", str(placed_p), "--mesh", str(stl_p),
+         "--txt", str(tmp_path / "alignment_errors.txt"),
+         "--json", str(tmp_path / "alignment_errors.json")])
+    # reconstruction of a half-res (blocky) real cloud: the gate checks
+    # the chain produces a sane sub-cm report, not recon fidelity
+    assert srep["median_mm"] < 15.0, srep
+    assert (tmp_path / "alignment_errors.txt").exists()
