@@ -176,3 +176,44 @@ def test_cross_validate_against_opencv_dictionary():
         code = int("".join("1" if b else "0"
                            for b in np.rot90(g, 2).reshape(-1)), 2)
         assert code == int(tf.TAG36H11_CODES[tid]), f"id {tid} mismatch"
+
+
+def _mk_dets(ids, centers, margins, areas):
+    n = len(ids)
+    c = np.asarray(centers, np.float32)
+    corners = c[:, None, :] + np.array(
+        [[-5, -5], [5, -5], [5, 5], [-5, 5]], np.float32)[None]
+    return __import__("repas_tpu.detect.detector",
+                      fromlist=["Detections"]).Detections(
+        ids=jnp.asarray(ids, jnp.int32),
+        corners=jnp.asarray(corners),
+        centers=jnp.asarray(c),
+        decision_margin=jnp.asarray(margins, jnp.float32),
+        hamming=jnp.zeros(n, jnp.int32),
+        areas=jnp.asarray(areas, jnp.float32),
+        valid=jnp.ones(n, bool),
+    )
+
+
+def test_merge_keeps_duplicate_id_distinct_tags():
+    """Two physical tags sharing a printed id (duplicated prints) must BOTH
+    survive the merge — the reference returns both from detect_all_tags and
+    lets the consumer pick by area (mpa_final_view_with_export.py:270-323).
+    Re-detections of the SAME tag across enhancement variants (centers
+    within a pixel) still dedupe to the best margin."""
+    from repas_tpu.detect.robust import _merge_by_margin
+
+    a = _mk_dets([5, 5], [[100.0, 100.0], [400.0, 100.0]],
+                 [50.0, 40.0], [900.0, 900.0])
+    # same physical tags re-detected by another variant, slightly moved
+    b = _mk_dets([5, 5], [[100.6, 99.7], [400.2, 100.4]],
+                 [60.0, 20.0], [900.0, 900.0])
+    merged = _merge_by_margin([a, b], 4)
+    got = sorted(
+        (int(i), round(float(m), 1), round(float(c[0]), 1))
+        for i, m, c, v in zip(merged.ids, merged.decision_margin,
+                              merged.centers, merged.valid) if bool(v))
+    # both physical tags survive, each at its best-margin variant
+    assert len(got) == 2
+    assert got[0] == (5, 40.0, 400.0)   # tag at x=400: margin 40 beats 20
+    assert got[1] == (5, 60.0, 100.6)   # tag at x=100: margin 60 beats 50
