@@ -39,12 +39,15 @@ from repas_tpu.kernels.image import (adaptive_threshold, bilinear_sample,
                                      bilinear_sample_patch, decimate,
                                      gaussian_blur, rgb_to_gray)
 
-# side of the per-component ROI patch used for subpixel refinement
-# (gather-free matmul sampling): covers quads up to ~PATCH-2*margin px
-# across at full resolution; larger quads are refined on a 2x/4x
-# decimated patch of the same size (see detect_tags) instead of keeping
-# coarse corners. 256 = tag filling a third of 720p height.
-_PATCH = 256
+# side of the per-component ROI patch used for subpixel refinement AND
+# decode (gather-free matmul sampling): covers quads up to
+# ~PATCH-2*margin px across at full resolution; larger quads use a
+# 2x/4x/8x decimated patch of the same size (see detect_tags). 128 keeps
+# the hat-weight matrices and patch DMA traffic 4x smaller than 256 did
+# (the refine+decode stage was the detector's hottest at 1.24 ms/frame
+# on v5e, dominated by (samples, PATCH) weight construction); the lost
+# single-level coverage is recovered by one extra pyramid level.
+_PATCH = 128
 
 _NDIRS = 16
 
@@ -63,33 +66,101 @@ class Detections:
     valid: jnp.ndarray             # (D,) bool
 
 
-def _support_points(labels: jnp.ndarray, roots: jnp.ndarray):
+def _support_points(labels: jnp.ndarray, roots: jnp.ndarray,
+                    bbox: jnp.ndarray):
     """Extremal support points of each component along _NDIRS directions.
 
-    labels: (H,W) int32 component labels; roots: (C,) root label per slot.
+    labels: (H,W) int32 component labels; roots: (C,) root label per slot;
+    bbox: (C,4) f32 approximate [xmin,ymin,xmax,ymax] per slot (from
+    top_k_components' ring path — each edge within a few px of true).
     Returns (C, _NDIRS, 2) float32 pixel coords.
 
-    Implemented as masked reductions over a (C,N) membership matrix (built
-    once, reused across directions) — pure bandwidth-bound VPU passes; the
-    scatter/gather formulation costs ~25x more on v5e.
+    Implemented as masked reductions over per-component ROI label patches
+    (one 128x128 dynamic-slice per slot): membership compares touch
+    C*128^2 pixels instead of C*H*W — ~45x less traffic at 720p/C=48 than
+    the global membership matrix, and EXACT for any component that fits a
+    full-res patch (a prior stride-2 global subsample missed thin-diagonal
+    corner pixels by up to ~7 px — outside the subpixel refiner's window —
+    and lost a real capture's tag). Components larger than a patch use a
+    stride-2^l label subsample of the same ROI; their support error
+    (~level px) stays proportional to quad size, matching the refine
+    window which also scales with the chosen pyramid level.
     """
     h, w = labels.shape
-    flat = labels.reshape(-1)
-    m = flat[None, :] == roots[:, None]                   # (C, N)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
+    C = roots.shape[0]
+    ph, pw = min(_PATCH, h), min(_PATCH, w)
+    m_pad = 8                       # absorbs the bbox estimate's error
+    cover_x, cover_y = pw - 2 * m_pad, ph - 2 * m_pad
+    n_levels = 1
+    while (cover_x * 2 ** (n_levels - 1) < w
+           or cover_y * 2 ** (n_levels - 1) < h) and n_levels < 4:
+        n_levels += 1
+
+    # label pyramid by pure subsampling (level-l pixel (i,j) IS full-res
+    # pixel (i*2^l, j*2^l) — no averaging, so support coords stay exact
+    # member-pixel locations), row-concatenated into one sliceable buffer;
+    # sentinel padding (= background) never matches a root.
+    sentinel = jnp.int32(h * w)
+    row_off, rows = [], []
+    for lv in range(n_levels):
+        a = labels[:: 2 ** lv, :: 2 ** lv]
+        hl_, wl_ = a.shape
+        row_off.append(sum(r.shape[0] for r in rows))
+        rows.append(jnp.pad(a, ((0, max(ph - hl_, 0)), (0, w - wl_)),
+                            constant_values=sentinel))
+    pyr = jnp.concatenate(rows, axis=0)
+    row_off = jnp.asarray(row_off, jnp.int32)
+
+    starts_l, fits_l = [], []
+    for lv in range(n_levels):
+        s = 2 ** lv
+        hl_ = max(rows[lv].shape[0], ph)
+        wl_ = -(-w // s)
+        starts_l.append(jnp.stack([
+            jnp.clip(jnp.floor(bbox[:, 0] / s).astype(jnp.int32) - m_pad,
+                     0, max(wl_ - pw, 0)),
+            jnp.clip(jnp.floor(bbox[:, 1] / s).astype(jnp.int32) - m_pad,
+                     0, max(hl_ - ph, 0))], axis=1))
+        fits_l.append(((bbox[:, 2] - bbox[:, 0]) / s <= cover_x)
+                      & ((bbox[:, 3] - bbox[:, 1]) / s <= cover_y))
+    fits_all = jnp.stack(fits_l, axis=1)                  # (C,L)
+    lvl = jnp.where(jnp.any(fits_all, axis=1),
+                    jnp.argmax(fits_all, axis=1),
+                    n_levels - 1).astype(jnp.int32)
+    starts = jnp.take_along_axis(
+        jnp.stack(starts_l, axis=1), lvl[:, None, None], axis=1)[:, 0]
+    scale = jnp.exp2(lvl.astype(jnp.float32))             # (C,)
+
+    patches = jax.vmap(lambda lv_, st: jax.lax.dynamic_slice(
+        pyr, (row_off[lv_] + st[1], st[0]), (ph, pw)))(lvl, starts)
+    m = patches.reshape(C, -1) == roots[:, None]          # (C, P*P)
+    pxf = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 1).reshape(-1)
+    pyf = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 0).reshape(-1)
+    st_f = starts.astype(jnp.float32)
+    xs = (st_f[:, 0:1] + pxf[None, :]) * scale[:, None]   # (C, P*P)
+    ys = (st_f[:, 1:2] + pyf[None, :]) * scale[:, None]
     thetas = np.pi * 2.0 * np.arange(_NDIRS) / _NDIRS
     neg = jnp.float32(-1e9)
+
+    # the root pixel (label = min row-major pixel index) is always a
+    # member; folding it in keeps every direction's support finite even
+    # if a subsampled patch at a deep level catches no component pixel
+    x_root = (roots % w).astype(jnp.float32)
+    y_root = (roots // w).astype(jnp.float32)
 
     outs = []
     for t in thetas:
         c, s = np.float32(np.cos(t)), np.float32(np.sin(t))
-        proj = xs * c + ys * s                            # (N,)
-        pm = jnp.where(m, proj[None, :], neg)             # (C, N)
-        mx = jnp.max(pm, axis=1)                          # (C,)
+        proj = xs * c + ys * s                            # (C, P*P)
+        pm = jnp.where(m, proj, neg)
+        proj_root = x_root * c + y_root * s               # (C,)
+        mx = jnp.maximum(jnp.max(pm, axis=1), proj_root)  # (C,)
         win = pm >= (mx[:, None] - 1e-3)
-        ux = jnp.max(jnp.where(win, xs[None, :], neg), axis=1)
-        uy = jnp.max(jnp.where(win, ys[None, :], neg), axis=1)
+        root_win = proj_root >= (mx - 1e-3)
+        ux = jnp.max(jnp.where(win, xs, neg), axis=1)
+        uy = jnp.max(jnp.where(win, ys, neg), axis=1)
+        ux = jnp.maximum(ux, jnp.where(root_win, x_root, neg))
+        uy = jnp.maximum(uy, jnp.where(root_win, y_root, neg))
         outs.append(jnp.stack([ux, uy], axis=-1))
     return jnp.stack(outs, axis=1)                        # (C, NDIRS, 2)
 
@@ -240,18 +311,27 @@ def _sharpen_grid(vals: jnp.ndarray, amount: float) -> jnp.ndarray:
 
 
 def _decode_quad(gray: jnp.ndarray, quad: jnp.ndarray, table: jnp.ndarray,
-                 perms: jnp.ndarray, sharpening: float, max_hamming: int):
-    """Decode one quad. Returns (id, rotation k, hamming, margin, corners)."""
+                 perms: jnp.ndarray, sharpening: float, max_hamming: int,
+                 sampler=None):
+    """Decode one quad. Returns (id, rotation k, hamming, margin, corners).
+
+    `sampler(pts)` maps full-resolution pixel coords (...,2) to intensity
+    samples; default is a gather-based bilinear_sample on `gray`. The
+    detector passes a patch-backed matmul sampler instead (TPU gathers
+    are serialized scalar loads — ~6k decode gathers per frame cost more
+    than the whole segmentation stage)."""
+    if sampler is None:
+        sampler = lambda p: bilinear_sample(gray, p)  # noqa: E731
     H = _homography_quad(quad)
     cells = tag_families.GRID + 2        # 8 with border
     # cell centers in tag coords [-1,1]
     cs = (jnp.arange(cells, dtype=jnp.float32) + 0.5) / cells * 2.0 - 1.0
     gx, gy = jnp.meshgrid(cs, cs, indexing="xy")
     pts = jnp.stack([gx, gy], axis=-1)           # (8,8,2), [row, col]
-    vals = bilinear_sample(gray, _apply_h(H, pts))
-    vals = _sharpen_grid(vals, sharpening)
+    raw = sampler(_apply_h(H, pts))
+    vals = _sharpen_grid(raw, sharpening)
 
-    # white reference: quiet-zone ring just outside the border
+    # white reference samples: quiet-zone ring just outside the border
     m = 1.0 + 1.0 / cells
     ring = jnp.concatenate([
         jnp.stack([cs, jnp.full_like(cs, -m)], -1),
@@ -259,21 +339,59 @@ def _decode_quad(gray: jnp.ndarray, quad: jnp.ndarray, table: jnp.ndarray,
         jnp.stack([jnp.full_like(cs, -m), cs], -1),
         jnp.stack([jnp.full_like(cs, m), cs], -1),
     ])
-    white_ref = jnp.mean(bilinear_sample(gray, _apply_h(H, ring)))
+    ring_v = sampler(_apply_h(H, ring))
     border_mask = jnp.zeros((cells, cells), bool).at[0, :].set(True)
     border_mask = border_mask.at[-1, :].set(True).at[:, 0].set(True)
     border_mask = border_mask.at[:, -1].set(True)
-    black_ref = (jnp.sum(jnp.where(border_mask, vals, 0.0))
-                 / jnp.sum(border_mask))
-    thresh = 0.5 * (white_ref + black_ref)
 
-    data = vals[1:-1, 1:-1]                      # (6,6), row-major
-    bits = (data > thresh).reshape(-1)           # (36,)
-    margin = (jnp.sum(jnp.abs(data - thresh)) / data.size)
+    # AprilTag3 decision-margin semantics (apriltag.c quad_decode, the
+    # contract behind the `margin >= 10` gates at
+    # three_pose_vertical_translation_validation.py:38 and
+    # april_tag_detector_solvepnp.py decision_margin consumers): fit
+    # LINEAR gray models W(x,y), B(x,y) over tag coords — white from the
+    # quiet-zone ring, black from the UNsharpened border cells — then
+    # threshold each data cell at (W+B)/2 at its own position, and score
+    # margin = min(mean white-side |v - thresh|, mean black-side). A
+    # shared linear fit keeps the value calibrated in 0-255 gray units
+    # under illumination gradients (a global mean threshold deflates the
+    # margin on unevenly lit tags and is what the old formulation used).
+    def _linfit(xy, v):
+        A = jnp.stack([xy[:, 0], xy[:, 1], jnp.ones_like(v)], axis=1)
+        AtA = A.T @ A + 1e-4 * jnp.eye(3, dtype=v.dtype)
+        return jnp.linalg.solve(AtA, A.T @ v)
+
+    cw = _linfit(ring, ring_v)
+    border_xy = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=1)
+    bm_flat = border_mask.reshape(-1).astype(jnp.float32)
+    # weighted fit over border cells only (masked rows zeroed)
+    Ab = jnp.stack([border_xy[:, 0], border_xy[:, 1],
+                    jnp.ones(cells * cells, jnp.float32)], axis=1)
+    Aw = Ab * bm_flat[:, None]
+    AtA = Aw.T @ Aw + 1e-4 * jnp.eye(3, dtype=jnp.float32)
+    cb = jnp.linalg.solve(AtA, Aw.T @ (raw.reshape(-1) * bm_flat))
+
+    data_xy = jnp.stack([gx[1:-1, 1:-1].reshape(-1),
+                         gy[1:-1, 1:-1].reshape(-1)], axis=1)   # (36,2)
+    Wv = data_xy @ cw[:2] + cw[2]
+    Bv = data_xy @ cb[:2] + cb[2]
+    thresh36 = 0.5 * (Wv + Bv)                   # (36,)
+
+    data = vals[1:-1, 1:-1].reshape(-1)          # (36,), row-major
+    bits = data > thresh36                       # (36,)
+    diff = data - thresh36
+    n_w = jnp.maximum(jnp.sum(bits), 1)
+    n_b = jnp.maximum(jnp.sum(~bits), 1)
+    white_score = jnp.sum(jnp.where(bits, diff, 0.0)) / n_w
+    black_score = jnp.sum(jnp.where(~bits, -diff, 0.0)) / n_b
+    margin = jnp.minimum(white_score, black_score)
+
+    white_ref = jnp.mean(ring_v)
+    black_ref = jnp.sum(raw.reshape(-1) * bm_flat) / jnp.sum(bm_flat)
     # contrast sanity: border must be darker than quiet zone
     contrast_ok = (white_ref - black_ref) > 10.0
-    border_frac = (jnp.sum(jnp.where(border_mask, vals < thresh, False))
-                   / jnp.sum(border_mask))
+    thresh_border = 0.5 * (white_ref + black_ref)
+    border_frac = (jnp.sum(jnp.where(border_mask, raw < thresh_border,
+                                     False)) / jnp.sum(border_mask))
 
     # try 4 rotations against the codebook
     rbits = bits[perms]                          # (4,36)
@@ -289,17 +407,32 @@ def _decode_quad(gray: jnp.ndarray, quad: jnp.ndarray, table: jnp.ndarray,
     # canonical TL cell appears at observed corner index k going around the
     # quad; roll corners so slot 0 is the canonical TL.
     corners = jnp.roll(quad, -k, axis=0)
+    # tag-likeness of the quad INDEPENDENT of decode success — the robust
+    # ladder escalates undecoded-but-tag-shaped candidates (a decimated
+    # tag keeps its dark border and contrast while losing data bits; a
+    # background blob that slipped the ring filter rarely has all three)
+    tagness = (jnp.clip(border_frac - 0.5, 0.0, None)
+               * jnp.clip(white_ref - black_ref, 0.0, 100.0)
+               * jnp.clip(36.0 - ham.astype(jnp.float32), 0.0, None))
     return (jnp.where(ok, tag_id, -1).astype(jnp.int32),
             k.astype(jnp.int32), ham.astype(jnp.int32),
-            jnp.where(ok, margin, 0.0), corners)
+            jnp.where(ok, margin, 0.0), corners, tagness)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig()
-                ) -> Detections:
+@functools.partial(jax.jit, static_argnames=("config", "with_candidates"))
+def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig(),
+                with_candidates: bool = False):
     """Detect tag36h11 tags in one image (uint8 RGB (H,W,3) or gray (H,W)).
 
     Returns a fixed-capacity `Detections` (config.max_detections slots).
+    With `with_candidates`, additionally returns every candidate quad's
+    full-res bbox (C,4) [xmin,ymin,xmax,ymax] and a tag-likeness score
+    (C,) (decode-evidence based; 0 for dead slots) — the robust ladder's ROI
+    escalation re-detects around UNDECODED candidates at full resolution
+    instead of re-running the detector on the whole frame (the reference
+    escalates parameters on the same frame, detect_best_tag at
+    vis_tool_april_tag_pose_validaiton.py:65-86; candidate-bounded ROIs
+    are the fixed-capacity equivalent at a fraction of the pixels).
     """
     gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
     if config.quad_sigma > 0:
@@ -316,14 +449,14 @@ def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig()
                                            min_contrast=config.min_contrast)
     dark = (~binary) & (~ambiguous)
     labels = connected_components(dark, iters=config.ccl_iters)
-    roots, areas, valid_c = top_k_components(
+    roots, areas, valid_c, bbox = top_k_components(
         labels, config.max_components,
         min_area=config.min_area_px / (dec * dec),
         max_area=config.max_area_frac * hl * wl, ring_filter=True,
-        min_side=8.0 / dec)
+        min_side=8.0 / dec, return_bbox=True)
     areas = areas * (dec * dec)
 
-    sup = _support_points(labels, roots)              # (C,16,2)
+    sup = _support_points(labels, roots, bbox)        # (C,16,2)
     quads = jax.vmap(_quad_from_support)(sup)         # (C,4,2)
     if dec > 1:
         # low-res pixel i covers full-res [i*dec, i*dec+dec-1]
@@ -334,25 +467,35 @@ def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig()
     # a supersampled render vs 2.9 mm / 1.1 deg single-pass).
     # Sampling runs on per-component ROI patches with the gather-free
     # matmul sampler (TPU gathers are serialized scalar loads; patches
-    # are contiguous dynamic-slice DMAs): 4.7 -> ~0.4 ms/frame for both
-    # passes. Quads too large for a full-res patch (> ~230 px across —
-    # close-range tags) pick the first pyramid level whose decimated
-    # patch covers them: level-l localization error ~0.1*2^l px, far
-    # below the coarse corners they previously kept (2.6 mm vs 0.24 mm
-    # pose cliff, ADVICE r2).
+    # are contiguous dynamic-slice DMAs). Quads too large for a full-res
+    # patch (> ~100 px across — close-range tags) pick the first pyramid
+    # level whose decimated patch covers them: level-l localization error
+    # ~0.1*2^l px, far below the coarse corners they previously kept
+    # (2.6 mm vs 0.24 mm pose cliff, ADVICE r2). The pyramid is stored
+    # row-concatenated at native per-level size (one 2-D buffer, ~1.9x
+    # the image) rather than as an (L,H,W) stack (L x the image written
+    # per frame — pure HBM waste at these sizes).
     ph, pw = min(_PATCH, h), min(_PATCH, w)
     margin = 12.0
     cover = min(ph, pw) - 2 * margin
     n_levels = 1
-    while cover * 2 ** (n_levels - 1) < max(h, w) and n_levels < 3:
+    while cover * 2 ** (n_levels - 1) < max(h, w) and n_levels < 4 \
+            and (min(h, w) >> n_levels) >= 8:
         n_levels += 1
     lvl_imgs = [gray]
     for lv in range(1, n_levels):
-        s = 2 ** lv
-        g2 = decimate(gray[: h // s * s, : w // s * s], s)
-        lvl_imgs.append(jnp.pad(
-            g2, ((0, h - g2.shape[0]), (0, w - g2.shape[1]))))
-    pyr = jnp.stack(lvl_imgs)                          # (L,H,W)
+        lvl_imgs.append(decimate(lvl_imgs[-1], 2))
+    row_off, rows = [], []
+    for a in lvl_imgs:
+        hl_, wl_ = a.shape
+        row_off.append(sum(r.shape[0] for r in rows))
+        # height-pad to at least a patch (deep levels of wide images are
+        # shorter than ph); edge mode so bottom-margin samples of quads
+        # near the image bottom read replicated pixels, not zeros
+        rows.append(jnp.pad(a, ((0, max(ph - hl_, 0)), (0, w - wl_)),
+                            mode="edge"))
+    pyr = jnp.concatenate(rows, axis=0)                # (~2H, W)
+    row_off = jnp.asarray(row_off, jnp.int32)
 
     qlo = jnp.min(quads, axis=1)                       # (C,2) x,y
     qhi = jnp.max(quads, axis=1)
@@ -363,40 +506,57 @@ def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig()
         # pixel i covers full-res [i*s, i*s+s-1])
         lo_l = (qlo - (s - 1) / 2.0) / s
         hi_l = (qhi - (s - 1) / 2.0) / s
-        wl, hl = w // s, h // s
+        hl_, wl_ = lvl_imgs[lv].shape
         starts_l.append(jnp.stack([
             jnp.clip(jnp.floor(lo_l[:, 0] - margin).astype(jnp.int32),
-                     0, max(wl - pw, 0)),
+                     0, max(wl_ - pw, 0)),
             jnp.clip(jnp.floor(lo_l[:, 1] - margin).astype(jnp.int32),
-                     0, max(hl - ph, 0))], axis=1))
+                     0, max(hl_ - ph, 0))], axis=1))
         fits_l.append(((hi_l[:, 0] - lo_l[:, 0]) <= pw - 2 * margin)
                       & ((hi_l[:, 1] - lo_l[:, 1]) <= ph - 2 * margin))
     fits_all = jnp.stack(fits_l, axis=1)               # (C,L)
-    lvl = jnp.argmax(fits_all, axis=1).astype(jnp.int32)
     fits = jnp.any(fits_all, axis=1)
+    # first fitting level; quads bigger than the deepest level's cover
+    # (degenerate close-ups) fall back to the deepest patch — their
+    # decode samples clamp at the patch edge but the data cells are
+    # interior, so decode usually still succeeds; refine is skipped.
+    lvl = jnp.where(fits, jnp.argmax(fits_all, axis=1),
+                    n_levels - 1).astype(jnp.int32)
     starts = jnp.take_along_axis(
         jnp.stack(starts_l, axis=1), lvl[:, None, None], axis=1)[:, 0]
     scale = jnp.exp2(lvl.astype(jnp.float32))[:, None, None]  # (C,1,1)
 
     patches = jax.vmap(lambda lv_, st: jax.lax.dynamic_slice(
-        pyr, (lv_, st[1], st[0]), (1, ph, pw))[0])(lvl, starts)
+        pyr, (row_off[lv_] + st[1], st[0]), (ph, pw)))(lvl, starts)
     off = starts.astype(jnp.float32)[:, None, :]       # (C,1,2)
     q_rel = (quads - (scale - 1) / 2.0) / scale - off
-    q_rel = jax.vmap(lambda p, q: _refine_edges(
-        p, q, search=2.0 + dec, sampler=bilinear_sample_patch)
-        )(patches, q_rel)
-    q_rel = jax.vmap(lambda p, q: _refine_edges(
-        p, q, search=2.0, offset_step=0.25,
+    # pass 1 scans the +-(2+dec) px window at 1 px steps (the parabola
+    # peak fit is accurate to ~0.1 px at this step — pass 2 tightens it);
+    # 0.5 px steps doubled the sample matmuls for no end-to-end gain
+    q_ref = jax.vmap(lambda p, q: _refine_edges(
+        p, q, search=2.0 + dec, offset_step=1.0,
         sampler=bilinear_sample_patch))(patches, q_rel)
-    refined = (q_rel + off) * scale + (scale - 1) / 2.0
-    quads = jnp.where(fits[:, None, None], refined, quads)
+    # pass 1 leaves sub-half-pixel residual, so pass 2 only needs a
+    # +-1 px window at quarter-pixel steps (9 offsets, not 17)
+    q_ref = jax.vmap(lambda p, q: _refine_edges(
+        p, q, search=1.0, offset_step=0.25,
+        sampler=bilinear_sample_patch))(patches, q_ref)
+    q_rel = jnp.where(fits[:, None, None], q_ref, q_rel)
+    quads = (q_rel + off) * scale + (scale - 1) / 2.0
 
     table = jnp.asarray(tag_families.tag_family_bits())
     perms = jnp.asarray(tag_families.rotation_perms())
-    ids, ks, hams, margins, corners = jax.vmap(
-        lambda q: _decode_quad(gray, q, table, perms,
-                               config.decode_sharpening,
-                               config.max_hamming))(quads)
+
+    def _decode_one(patch, q, off1, sc):
+        def samp(pts_full):
+            return bilinear_sample_patch(
+                patch, (pts_full - (sc - 1.0) / 2.0) / sc - off1)
+        return _decode_quad(gray, q, table, perms,
+                            config.decode_sharpening,
+                            config.max_hamming, sampler=samp)
+
+    ids, ks, hams, margins, corners, tagness = jax.vmap(_decode_one)(
+        patches, quads, off, scale[:, :, 0])
 
     # quad sanity: distinct corners
     e = jnp.linalg.norm(corners - jnp.roll(corners, 1, axis=1), axis=-1)
@@ -409,7 +569,7 @@ def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig()
     top_scores, top_idx = jax.lax.top_k(score, D)
     sel_valid = top_scores > 0
 
-    return Detections(
+    det = Detections(
         ids=jnp.where(sel_valid, ids[top_idx], -1),
         corners=corners[top_idx],
         centers=jnp.mean(corners[top_idx], axis=1),
@@ -418,6 +578,18 @@ def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig()
         areas=areas[top_idx],
         valid=sel_valid,
     )
+    if with_candidates:
+        cand_bbox = jnp.concatenate([jnp.min(quads, axis=1),
+                                     jnp.max(quads, axis=1)], axis=1)
+        # escalation-worthiness: tag-shaped (decode evidence, not raw
+        # area — area top-ranks background blobs over the actual tag) and
+        # small enough that full-res re-detection inside a ~256 px ROI
+        # can help (bigger quads already decode fine decimated)
+        side = jnp.max(cand_bbox[:, 2:] - cand_bbox[:, :2], axis=1)
+        cand_score = jnp.where(valid_c & sane & (side <= 192.0),
+                               tagness, 0.0)
+        return det, cand_bbox, cand_score
+    return det
 
 
 def detect_tags_batch(imgs: jnp.ndarray,
