@@ -15,7 +15,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from repas_tpu.core.config import DetectorConfig
 from repas_tpu.detect.detector import Detections, detect_tags
@@ -127,56 +126,165 @@ def detect_tags_robust(img: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _stage_base(frames, config: DetectorConfig):
-    """[raw, CLAHE] decimated sweep per frame -> merged Detections.
+# ROI escalation geometry: 256^2 windows keep the per-ROI CCL fully
+# VMEM-resident (single-block Pallas) and cover any tag small enough to
+# have been hurt by decimation (bigger tags decode fine decimated)
+_ROI = 256
+_ROI_Q = 4          # candidate windows re-examined per escalated frame
 
-    Raw-only recall on the 8 checked-in real captures is 2/8; CLAHE alone
-    is 7/8 (measured r3) — together they accept everything a decimated
-    pass can, so gamma/blur variants never earn their cost here (blur:
-    157 ms per 8 frames for 1/8 recall)."""
+
+def _top_rois(bbox: jnp.ndarray, score: jnp.ndarray, q: int):
+    """Greedy center-proximity NMS over candidate bboxes, top-q by score.
+
+    The two enhancement variants yield near-duplicate candidates for the
+    same physical component; suppressing later (lower-score) candidates
+    whose center lies within half the larger bbox diagonal keeps the q
+    slots spent on DISTINCT regions."""
+    order = jnp.argsort(-score)
+    b, s = bbox[order], score[order]
+    c = 0.5 * (b[:, :2] + b[:, 2:])
+    diag = jnp.linalg.norm(b[:, 2:] - b[:, :2], axis=1)
+    rad = jnp.maximum(diag[:, None], diag[None, :]) * 0.5
+    d2 = jnp.sum((c[:, None, :] - c[None, :, :]) ** 2, -1)
+    sup = jnp.tril(d2 < rad * rad, k=-1).any(axis=1)
+    s = jnp.where(sup, 0.0, s)
+    top_s, qi = jax.lax.top_k(s, q)
+    return b[qi], top_s
+
+
+# frames ROI-escalated per call. Selected ON DEVICE (worst frames first)
+# so stages A+B fuse into one program with a single host sync; batches
+# with more failing frames than this spill to stage C's whole-frame pass.
+_ESC_K = 2
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _stage_a(frames, config: DetectorConfig):
+    """Stage A: CLAHE decimated sweep on every frame.
+
+    CLAHE-only is deliberate: on the 8 checked-in real captures raw is
+    2/8 with ZERO unique frames vs CLAHE's 7/8 (measured r4) — the raw
+    variant doubled stage-A cost for nothing, and still runs in the ROI
+    escalation and stage C.
+
+    Returns (Detections, found (N,), grays (N,H,W), top-Q candidate ROIs
+    (N,Q,4), ROI tag-likeness scores (N,Q))."""
     def one(img):
         gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
-        batch = jnp.stack([gray, clahe(gray)])
-        det = jax.vmap(lambda g: detect_tags(g, config))(batch)
-        return _merge_by_margin([det], config.max_detections)
-    return jax.vmap(one)(frames)
+        det, bbox, score = detect_tags(clahe(gray), config,
+                                       with_candidates=True)
+        rois, rscores = _top_rois(bbox, score, _ROI_Q)
+        return det, rois, rscores, gray
+
+    det, rois, rscores, grays = jax.vmap(one)(frames)
+    return det, det.valid.any(axis=1), grays, rois, rscores
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _escalate_fullres(frames, cur: Detections, pad_idx,
-                      config: DetectorConfig) -> Detections:
-    """Full-resolution [raw, CLAHE] sweep on the frame subset `pad_idx`,
-    margin-merged into `cur` and scattered back — ONE device program.
+def _stage_b(grays, det: Detections, found, rois, rscores,
+             config: DetectorConfig):
+    """Stage B: full-resolution [raw, CLAHE] re-detection on the top-Q
+    candidate ROIs of the _ESC_K frames stage A left empty (VERDICT r3
+    #3) -> (Detections, found).
 
-    The previous formulation did the gather, per-field indexing, merge,
-    and write-back as eager host ops: ~20 dispatches x ~35 ms tunnel
-    round-trip = ~0.7 s per call before any compute. Fused, escalation
-    costs one dispatch. `pad_idx` repeats indices to fill its bucket;
-    duplicate rows compute identical merges, so the trailing .set is
-    benign."""
+    The failure mode it fixes (decimation destroying a small/low-contrast
+    tag's DECODE) is local to a candidate quad the decimated pass already
+    FOUND, so re-examining _ROI^2 windows around the top tag-likeness
+    candidates does the same recovery at ~1/7 the pixels of a whole-frame
+    pass (and the per-ROI CCL stays VMEM-resident). Frame selection is a
+    device-side top-k over not-found frames and the escalation sits under
+    a lax.cond, so the host never has to inspect stage A's result: the
+    ladder dispatches A then B back-to-back and syncs ONCE on B's found
+    mask (each host round-trip through the tunnel costs ~35 ms — r3's
+    per-stage syncs were a third of the ladder's whole budget). Kept as
+    its own jitted program rather than fused into stage A: each program
+    embeds one detector body, and a two-body program blows the 1-core
+    host's cold compile past 10 minutes (the r2 eager-merge lesson)."""
+    cfg_roi = dataclasses.replace(config, quad_decimate=1.0,
+                                  max_components=16, max_detections=4)
+    D = config.max_detections
+    k = min(_ESC_K, grays.shape[0])
+    # not-found frames first, strongest candidate evidence breaking ties
+    sel_score = jnp.where(found, -1.0, 1.0 + jnp.max(rscores, axis=1))
+    _, sel_idx = jax.lax.top_k(sel_score, k)
+    sel_live = ~found[sel_idx]
+
+    def _escalate(_):
+        h, w = grays.shape[1:]
+        r = min(_ROI, h, w)
+
+        def one_esc(gray, boxes, scores, live):
+            ctr = 0.5 * (boxes[:, :2] + boxes[:, 2:])
+            start = jnp.clip(
+                jnp.round(ctr - r / 2).astype(jnp.int32), 0,
+                jnp.array([max(w - r, 0), max(h - r, 0)], jnp.int32))
+
+            def detect_roi(st, sc):
+                roi = jax.lax.dynamic_slice(gray, (st[1], st[0]), (r, r))
+                batch = jnp.stack([roi, clahe(roi)])
+                d = jax.vmap(lambda g: detect_tags(g, cfg_roi))(batch)
+                ok = live & (sc > 0)
+                off = st.astype(jnp.float32)
+                return Detections(
+                    ids=jnp.where(ok, d.ids, -1),
+                    corners=d.corners + off[None, None, None, :],
+                    centers=d.centers + off[None, None, :],
+                    decision_margin=jnp.where(ok, d.decision_margin, 0.0),
+                    hamming=d.hamming,
+                    areas=d.areas,
+                    valid=d.valid & ok)
+
+            dets = jax.vmap(detect_roi)(start, scores)   # (Q,V,D) leading
+            return _merge_by_margin([dets], D)
+
+        det_roi = jax.vmap(one_esc)(grays[sel_idx], rois[sel_idx],
+                                    rscores[sel_idx], sel_live)
+        cur_sub = jax.tree_util.tree_map(lambda a: a[sel_idx], det)
+        merged = jax.vmap(
+            lambda a, b: _merge_by_margin([a, b], D))(cur_sub, det_roi)
+        return jax.tree_util.tree_map(
+            lambda a, m: a.at[sel_idx].set(m), det, merged)
+
+    det = jax.lax.cond(jnp.any(~found), _escalate, lambda _: det, None)
+    return det, det.valid.any(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _stage_c(grays, det: Detections, found, config: DetectorConfig):
+    """Stage C: whole-frame full-resolution [raw, CLAHE] sweep on the
+    _ESC_K frames still empty after stage B, under a lax.cond — the
+    recall safety net for tags that produced no decimated candidate at
+    all. Like stage B it is device-selected and conditional, so the
+    common case (everything found) executes the identity branch in ~0
+    time and the ladder stays entirely sync-free."""
     cfg1 = dataclasses.replace(config, quad_decimate=1.0)
+    D = config.max_detections
+    k = min(_ESC_K, grays.shape[0])
+    _, sel_idx = jax.lax.top_k(jnp.where(found, -1.0, 1.0), k)
+    sel_live = ~found[sel_idx]
 
-    def one(img):
-        gray = rgb_to_gray(img) if img.ndim == 3 else img.astype(jnp.float32)
-        batch = jnp.stack([gray, clahe(gray)])
-        det = jax.vmap(lambda g: detect_tags(g, cfg1))(batch)
-        return _merge_by_margin([det], config.max_detections)
+    def _escalate(_):
+        def one(gray, live):
+            batch = jnp.stack([gray, clahe(gray)])
+            d = jax.vmap(lambda g: detect_tags(g, cfg1))(batch)
+            d = Detections(
+                ids=jnp.where(live, d.ids, -1),
+                corners=d.corners,
+                centers=d.centers,
+                decision_margin=jnp.where(live, d.decision_margin, 0.0),
+                hamming=d.hamming,
+                areas=d.areas,
+                valid=d.valid & live)
+            return _merge_by_margin([d], D)
 
-    det_s = jax.vmap(one)(frames[pad_idx])
-    cur_sub = jax.tree_util.tree_map(lambda a: a[pad_idx], cur)
-    merged = jax.vmap(
-        lambda a, b: _merge_by_margin([a, b], config.max_detections)
-    )(cur_sub, det_s)
-    return jax.tree_util.tree_map(
-        lambda a, m: a.at[pad_idx].set(m), cur, merged)
+        det_c = jax.vmap(one)(grays[sel_idx], sel_live)
+        cur_sub = jax.tree_util.tree_map(lambda a: a[sel_idx], det)
+        merged = jax.vmap(
+            lambda a, b: _merge_by_margin([a, b], D))(cur_sub, det_c)
+        return jax.tree_util.tree_map(
+            lambda a, m: a.at[sel_idx].set(m), det, merged)
 
-
-def _bucket(n: int) -> int:
-    b = 1
-    while b < n:
-        b *= 2
-    return b
+    return jax.lax.cond(jnp.any(~found), _escalate, lambda _: det, None)
 
 
 def detect_tags_robust_staged(frames, config: DetectorConfig =
@@ -187,27 +295,42 @@ def detect_tags_robust_staged(frames, config: DetectorConfig =
     vis_tool_april_tag_pose_validaiton.py:65-86: try, then escalate only
     on failure), batched per stage:
 
-      A. [raw, CLAHE] decimated sweep on every frame
-      B. [raw, CLAHE] full-resolution sweep, only frames with no
-         accepted tag (decimation can destroy small/low-contrast tags:
-         capture 5 of the checked-in 8 decodes hamming 6-10 decimated
-         but margin ~120 at full res)
+      A. CLAHE decimated sweep on every frame (also emits top-Q
+         candidate-quad ROIs per frame, decoded or not; the raw variant
+         adds zero unique recall on the real captures — see _stage_ab)
+      B. [raw, CLAHE] full-resolution re-detection on those candidate
+         ROIs, for the _ESC_K frames with no accepted tag (decimation
+         can destroy small/low-contrast tags' DECODE while the quad
+         candidate survives: capture 5 of the checked-in 8 decodes
+         hamming 6-10 decimated but margin ~126 at full res) — ~1/7 the
+         pixels of a whole-frame pass. A+B are ONE device program
+         (frame selection is a device-side top-k, B sits under a
+         lax.cond), so the A+B path costs a single host round-trip.
+      C. [raw, CLAHE] whole-frame full-resolution sweep on the _ESC_K
+         frames stage B still left empty (tag produced no decimated
+         candidate at all — the recall safety net)
 
-    Frames that escalate merge both stages' detections by decision
-    margin. Escalation subsets pad to power-of-2 buckets so at most
-    log2(N)+1 shapes ever compile for stage B. The only host round-trips
-    per call are the two (N,)-bool `found` masks; everything else is one
-    fused device program per stage (gather -> detect -> merge -> scatter).
-    `gamma` is kept for API compatibility; the gamma variant never beat
-    CLAHE on recall (6/8 vs 7/8, and never uniquely) so it no longer
-    runs here — detect_tags_robust still offers it.
+    Frames that escalate merge all stages' detections by decision
+    margin. A, B, and C are separate compiled programs (one detector
+    body each — fusing two blows the 1-core host's cold compile past 10
+    minutes) dispatched back-to-back with ZERO host syncs: B and C
+    select their frames on device (top-k over not-found) and sit under
+    lax.cond, so successive ladder calls pipeline on device and the ~35
+    ms tunnel round-trip never enters the steady-state loop (r3's
+    per-stage found-mask syncs were a third of the ladder's budget).
+    The trade: at most _ESC_K frames get ROI escalation and _ESC_K get
+    the whole-frame pass per call — a batch where MORE frames need the
+    same escalation tier degrades recall rather than blocking; callers
+    with such batches (not observed on the checked-in captures) can
+    re-call on the not-found subset or use detect_tags_robust per
+    frame. `gamma` is kept for API compatibility; the gamma variant
+    never beat CLAHE on recall (6/8 vs 7/8, and never uniquely) so it
+    no longer runs here — detect_tags_robust still offers it.
     """
     del gamma
     frames = jnp.asarray(frames)
-    det = _stage_base(frames, config)
-    found = np.asarray(det.valid).any(axis=1)
-    if not found.all() and config.quad_decimate > 1:
-        need = np.nonzero(~found)[0]
-        pad = np.resize(need, _bucket(len(need)))
-        det = _escalate_fullres(frames, det, jnp.asarray(pad), config)
+    det, found, grays, rois, rscores = _stage_a(frames, config)
+    if config.quad_decimate > 1:
+        det, found = _stage_b(grays, det, found, rois, rscores, config)
+        det = _stage_c(grays, det, found, config)
     return det

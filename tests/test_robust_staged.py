@@ -1,0 +1,77 @@
+"""Staged robust-ladder escalation (detect_tags_robust_staged).
+
+The staged ladder is the bench/production batch path: stage A decimated
+sweep, stage B full-res re-detection on candidate ROIs of failed frames
+(VERDICT r3 #3 — the reference escalates parameters on the same frame,
+detect_best_tag at vis_tool_april_tag_pose_validaiton.py:65-86), stage C
+whole-frame full-res safety net. These tests pin the escalation semantics
+on synthetic frames; the real-capture recall (8/8) is pinned by the
+margin-gate test in test_margin.py and the golden suite.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from repas_tpu.core.config import DetectorConfig
+from repas_tpu.detect import render_tag
+from repas_tpu.detect.robust import _top_rois, detect_tags_robust_staged
+
+CFG = DetectorConfig(max_components=16, max_detections=4, ccl_iters=8)
+
+
+def _scene(tag_id: int, cell_px: int, h=360, w=480, top=40, left=60,
+           white=220.0, black=30.0, bg=235.0):
+    img = np.full((h, w), bg, np.float32)
+    t = np.asarray(render_tag(tag_id, cell_px=cell_px, white=white,
+                              black=black))
+    img[top:top + t.shape[0], left:left + t.shape[1]] = t
+    return img
+
+
+def test_staged_easy_frames_no_escalation():
+    """Frames whose tags decode in stage A come back found, with corners
+    matching the single-image detector's output."""
+    frames = np.stack([_scene(3, 12), _scene(17, 12, left=180)])
+    det = detect_tags_robust_staged(frames, CFG)
+    v = np.asarray(det.valid)
+    assert v.any(axis=1).all()
+    ids0 = set(np.asarray(det.ids)[0][v[0]].tolist())
+    ids1 = set(np.asarray(det.ids)[1][v[1]].tolist())
+    assert 3 in ids0 and 17 in ids1
+
+
+def test_staged_roi_escalation_recovers_small_tag():
+    """A tag too small to decode decimated (3 px/cell after decimate 2)
+    must be recovered by the ROI escalation at full resolution, with
+    corners in FULL-FRAME coordinates (the ROI offset must be applied)."""
+    hard = _scene(5, cell_px=6, top=200, left=300)   # 48 px tag
+    easy = _scene(9, cell_px=12)
+    frames = np.stack([hard, easy])
+    det = detect_tags_robust_staged(frames, CFG)
+    v = np.asarray(det.valid)
+    assert v.any(axis=1).all(), "escalation failed to recover the hard frame"
+    ids0 = np.asarray(det.ids)[0][v[0]]
+    assert 5 in ids0.tolist()
+    sl = np.nonzero(np.asarray(det.ids)[0] == 5)[0][0]
+    c = np.asarray(det.corners)[0, sl]
+    # outer border spans [left+2*cell, left+10*cell] = [312, 360] etc.
+    assert c[:, 0].min() > 290 and c[:, 0].max() < 380, c
+    assert c[:, 1].min() > 190 and c[:, 1].max() < 280, c
+    # and the easy frame's result survived the scatter-back
+    assert 9 in np.asarray(det.ids)[1][v[1]].tolist()
+
+
+def test_top_rois_suppresses_duplicates():
+    """Near-identical candidates from the two enhancement variants must
+    collapse to one ROI slot so distinct regions fill the rest."""
+    bbox = jnp.asarray(np.array([
+        [100., 100., 160., 160.],
+        [101., 101., 161., 161.],     # duplicate of the first
+        [300., 100., 340., 140.],
+        [50., 250., 90., 290.],
+    ], np.float32))
+    score = jnp.asarray(np.array([900., 880., 400., 300.], np.float32))
+    boxes, scores = _top_rois(bbox, score, 3)
+    s = np.asarray(scores)
+    assert (s > 0).all()
+    xs = np.asarray(boxes)[:, 0]
+    assert len(np.unique(np.round(xs / 10))) == 3, boxes
