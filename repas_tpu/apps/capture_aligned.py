@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--out", type=Path, required=True)
     p.add_argument("--frames", type=int, default=0, help="0 = all")
     p.add_argument("--no-ply", action="store_true")
+    p.add_argument("--colorize", action="store_true",
+                   help="also write a JET depth preview per frame "
+                        "(depth_cm_<ts>.png — rs.colorizer semantics, "
+                        "capture_aligned_all.py:81,206)")
     p.add_argument("--depth-scale", type=float, default=0.001)
     args = p.parse_args(argv)
 
@@ -52,6 +56,11 @@ def main(argv=None):
             np.save(out / f"aligned_depth_m_{ts}.npy", depth_m)
             files["depth_png"] = f"aligned_depth_{ts}.png"
             files["depth_npy"] = f"aligned_depth_m_{ts}.npy"
+            if args.colorize:
+                from repas_tpu.viz.colormap import colorize_depth
+                write_image(out / f"depth_cm_{ts}.png",
+                            colorize_depth(depth_m))
+                files["depth_preview"] = f"depth_cm_{ts}.png"
             if not args.no_ply:
                 intr = (frame.color_intrinsics or
                         rb.intrinsics).scaled(depth_m.shape[1],

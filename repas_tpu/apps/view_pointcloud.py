@@ -39,6 +39,11 @@ def main(argv=None):
                         "viewer (rotate/zoom/pan in any browser — the "
                         "headless equivalent of the reference's Open3D "
                         "draw_geometries window)")
+    p.add_argument("--depth-preview", action="store_true",
+                   help="color points by JET-colorized depth (distance "
+                        "from camera, rs.colorizer semantics) instead of "
+                        "their RGB — the bag_to_img.py:30-41 depth-stream "
+                        "preview equivalent")
     args = p.parse_args(argv)
 
     pc = read_ply(args.input)
@@ -48,6 +53,10 @@ def main(argv=None):
         m = np.linalg.norm(pts, axis=1) < args.max_dist
         pts = pts[m]
         cols = None if cols is None else cols[m]
+    if args.depth_preview:
+        from repas_tpu.viz.colormap import colorize_depth
+        cols = colorize_depth(np.linalg.norm(pts, axis=1)
+                              ).astype(np.float32) / 255.0
     if args.html is not None:
         from repas_tpu.viz.html_viewer import write_html_viewer
         write_html_viewer(args.html, pts, cols, title=args.input.name)

@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Stage-level timing of the headline detector pipeline on the current
+jax backend (run bare for TPU-via-axon; JAX_PLATFORMS=cpu for CPU).
+
+Builds one jitted sub-program per cumulative stage prefix and times each;
+stage cost = successive difference. Sync is a device-side scalar reduce
+pulled to host (np.asarray of a full array would drag MBs through the
+~20 MB/s tunnel and inflate numbers severalfold — CLAUDE.md).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    "/tmp/repas_jax_cache" if os.environ.get("JAX_PLATFORMS") == "cpu"
+    else "/tmp/repas_jax_cache_tpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from repas_tpu.core.config import DetectorConfig, PipelineConfig
+from repas_tpu.detect import tag_families
+from repas_tpu.detect.detector import (_decode_quad, _quad_from_support,
+                                       _refine_edges, _support_points,
+                                       detect_tags)
+from repas_tpu.kernels.ccl import connected_components, top_k_components
+from repas_tpu.kernels.image import (adaptive_threshold, bilinear_sample_patch,
+                                     decimate, rgb_to_gray)
+from repas_tpu.kernels.pointcloud import fused_pointcloud
+from repas_tpu.pipeline import process_frames
+
+BATCH = int(os.environ.get("PROF_BATCH", "16"))
+ITERS = int(os.environ.get("PROF_ITERS", "10"))
+H, W = 720, 1280
+
+
+def _frames():
+    from __graft_entry__ import _example_frame
+    rgb, depth, K = _example_frame(H, W)
+    rng = np.random.default_rng(0)
+    rgbs = np.clip(np.stack([rgb] * BATCH).astype(np.int16)
+                   + rng.integers(-8, 8, (BATCH, H, W, 3)), 0, 255
+                   ).astype(np.uint8)
+    return jnp.asarray(rgbs), jnp.asarray(np.stack([depth] * BATCH)), K
+
+
+def _stage_prefix(img, config: DetectorConfig, upto: str):
+    """Run detector stages up to `upto`, return a scalar."""
+    gray = rgb_to_gray(img)
+    h, w = gray.shape
+    dec = max(1, int(config.quad_decimate))
+    gray_lo = decimate(gray, dec) if dec > 1 else gray
+    hl, wl = gray_lo.shape
+    if upto == "gray":
+        return jnp.sum(gray_lo)
+    binary, ambiguous = adaptive_threshold(gray_lo, tile=config.tile,
+                                           min_contrast=config.min_contrast)
+    dark = (~binary) & (~ambiguous)
+    if upto == "thresh":
+        return jnp.sum(dark)
+    labels = connected_components(dark, iters=config.ccl_iters)
+    if upto == "ccl":
+        return jnp.sum(labels)
+    roots, areas, valid_c, bbox = top_k_components(
+        labels, config.max_components,
+        min_area=config.min_area_px / (dec * dec),
+        max_area=config.max_area_frac * hl * wl, ring_filter=True,
+        min_side=8.0 / dec, return_bbox=True)
+    if upto == "topk":
+        return jnp.sum(roots) + jnp.sum(areas)
+    sup = _support_points(labels, roots, bbox)
+    if upto == "support":
+        return jnp.sum(sup)
+    quads = jax.vmap(_quad_from_support)(sup)
+    if dec > 1:
+        quads = quads * dec + (dec - 1) / 2.0
+    if upto == "quad":
+        return jnp.sum(quads)
+    raise ValueError(upto)
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    rgbs, depths, K = _frames()
+    cfg = PipelineConfig()
+
+    def timeit(name, fn, *args):
+        out = fn(*args)
+        float(jnp.sum(out) if out.ndim else out)  # compile+run
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(*args)
+        s = float(jnp.sum(out) if out.ndim else out)
+        dt = (time.perf_counter() - t0) / ITERS / BATCH * 1e3
+        print(f"{name:28s} {dt:8.3f} ms/frame   (sum={s:.1f})", flush=True)
+        return dt
+
+    stages = ["gray", "thresh", "ccl", "topk", "support", "quad"]
+    prev = 0.0
+    for st in stages:
+        f = jax.jit(jax.vmap(
+            lambda im, st=st: _stage_prefix(im, cfg.detector, st)))
+        t = timeit(f"prefix:{st}", lambda r: jnp.sum(f(r)), rgbs)
+        print(f"    stage delta {st}: {t - prev:+.3f} ms", flush=True)
+        prev = t
+
+    det = jax.jit(jax.vmap(lambda im: detect_tags(im, cfg.detector)))
+    t_det = timeit("detect_tags (full)", lambda r: jnp.sum(
+        det(r).decision_margin), rgbs)
+    print(f"    stage delta refine+decode: {t_det - prev:+.3f} ms",
+          flush=True)
+
+    pc = jax.jit(jax.vmap(lambda d, r: jnp.sum(
+        fused_pointcloud(d, r, jnp.asarray(K), scale=0.001))))
+    timeit("pointcloud", lambda d, r: jnp.sum(pc(d, r)), depths, rgbs)
+
+    pipe = jax.jit(lambda r, d: process_frames(r, d, K, cfg))
+    timeit("full pipeline", lambda r, d: jnp.sum(
+        pipe(r, d).pose.anchor_P_depth), rgbs, depths)
+
+
+if __name__ == "__main__":
+    main()
