@@ -247,7 +247,48 @@ def _cpu_probe():
     print(json.dumps({"cpu_fps": fps}), flush=True)
 
 
-def _record(fps, cpu_fps, cpu_cached, robust_fps, n_found, reg_1m_s=None):
+def _ref_stack_probe():
+    """The reference's OWN CPU stack on the same workload: cv2.aruco
+    AprilTag36h11 detect + solvePnP(IPPE_SQUARE) + full-frame numpy
+    deprojection (better_three_capture.py hot loop). Runs on host CPU
+    with no jax at all — the strongest honest comparator for the ≥10x
+    north star (the jax-on-CPU probe measures XLA's 1-core codegen, not
+    the reference's C++ performance)."""
+    import cv2
+
+    rgbs, depths, K = _frames(8)
+    tag_size = 0.0303
+    half = tag_size / 2.0
+    obj = np.array([[-half, -half, 0], [half, -half, 0],
+                    [half, half, 0], [-half, half, 0]], np.float32)
+    det = cv2.aruco.ArucoDetector(
+        cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_APRILTAG_36h11))
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+
+    def one(rgb, depth):
+        gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+        corners, ids, _ = det.detectMarkers(gray)
+        if ids is not None and len(ids):
+            cv2.solvePnP(obj, corners[0][0], K.astype(np.float64), None,
+                         flags=cv2.SOLVEPNP_IPPE_SQUARE)
+        z = depth.astype(np.float32) / 1000.0
+        pts = np.stack([(us - cx) * z / fx, (vs - cy) * z / fy, z], -1)
+        return pts
+
+    one(rgbs[0], depths[0])  # warm caches
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 10.0:
+        one(rgbs[n % len(rgbs)], depths[n % len(depths)])
+        n += 1
+    fps = n / (time.perf_counter() - t0)
+    print(json.dumps({"ref_stack_cpu_fps": fps}), flush=True)
+
+
+def _record(fps, cpu_fps, cpu_cached, robust_fps, n_found, reg_1m_s=None,
+            ref_fps=None):
     return {
         "metric": "detect_pnp_pointcloud_720p",
         "value": round(fps, 2),
@@ -255,6 +296,12 @@ def _record(fps, cpu_fps, cpu_cached, robust_fps, n_found, reg_1m_s=None):
         "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps else None,
         "cpu_fps": round(cpu_fps, 3) if cpu_fps else None,
         "cpu_fps_cached": bool(cpu_cached) if cpu_fps else None,
+        # the reference's own CPU stack (cv2.aruco AprilTag + solvePnP +
+        # numpy deproject) on this host — the stronger comparator; the
+        # r2/r3 "cpu_fps" of 45-62 was the TPU measured through the
+        # tunnel (sitecustomize overrides JAX_PLATFORMS; fixed r4)
+        "ref_stack_cpu_fps": round(ref_fps, 2) if ref_fps else None,
+        "vs_ref_stack": round(fps / ref_fps, 2) if ref_fps else None,
         "vs_design_target": round(fps / 30.0, 2),
         "mpts_per_s": round(fps * H * W / 1e6, 1),
         "robust_real_fps": round(robust_fps, 2) if robust_fps else None,
@@ -265,7 +312,19 @@ def _record(fps, cpu_fps, cpu_cached, robust_fps, n_found, reg_1m_s=None):
 
 def main():
     if "--cpu-probe" in sys.argv:
+        # JAX_PLATFORMS=cpu in the env is NOT enough: the axon
+        # sitecustomize hook pre-imports jax at interpreter startup and
+        # calls jax.config.update("jax_platforms", "axon,cpu"), which
+        # overrides the env var — without this re-update the "CPU" probe
+        # silently measures the TPU through the tunnel (r4 finding; the
+        # cached 61.8 fps probe was exactly that artifact).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.devices()[0].platform == "cpu", jax.devices()
         _cpu_probe()
+        return
+    if "--ref-probe" in sys.argv:
+        _ref_stack_probe()
         return
 
     state = _load_state()
@@ -276,8 +335,10 @@ def main():
     robust_fps = state.get("robust_real_fps")
     n_found = state.get("robust_tags_found")
     reg_1m = state.get("registration_1m_pts_s")
+    ref_fps = state.get("ref_stack_cpu_fps")
     print(json.dumps(_record(fps, cpu_fps, cpu_fps is not None,
-                             robust_fps, n_found, reg_1m)), flush=True)
+                             robust_fps, n_found, reg_1m, ref_fps)),
+          flush=True)
 
     # ---- extras, each wall-clock gated ------------------------------
     # Rotated priority (persisted counter): a budget overrun can starve
@@ -313,9 +374,23 @@ def main():
         if r is not None:
             results["registration_1m_pts_s"] = r
 
+    def _run_ref_stack():
+        # cv2-only, no jax: safe to run inline in the TPU-holding process
+        env = dict(os.environ)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--ref-probe"],
+            capture_output=True, text=True,
+            timeout=max(60, min(180, _remaining() - 30)), env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                results["ref_stack_cpu_fps"] = \
+                    json.loads(line)["ref_stack_cpu_fps"]
+
     extras = [("cpu", 120, _run_cpu_probe),
               ("robust", 90, _run_robust),
-              ("reg1m", 240, _run_reg)]
+              ("reg1m", 240, _run_reg),
+              ("refstack", 45, _run_ref_stack)]
     start = int(state.get("extra_rotation", 0)) % len(extras)
     for off in range(len(extras)):
         name, min_s, fn = extras[(start + off) % len(extras)]
@@ -329,13 +404,15 @@ def main():
     robust_fps = results.get("robust_real_fps", robust_fps)
     n_found = results.get("robust_tags_found", n_found)
     reg_1m = results.get("registration_1m_pts_s", reg_1m)
+    ref_fps = results.get("ref_stack_cpu_fps", ref_fps)
     _save_state(cpu_fps=cpu_fps, robust_real_fps=robust_fps,
                 robust_tags_found=n_found, registration_1m_pts_s=reg_1m,
-                extra_rotation=start + 1)
+                ref_stack_cpu_fps=ref_fps, extra_rotation=start + 1)
     # final superset line (drivers that parse the LAST json line get the
     # full record; ones that parse the first still got a valid headline)
     print(json.dumps(_record(fps, cpu_fps, cpu_cached,
-                             robust_fps, n_found, reg_1m)), flush=True)
+                             robust_fps, n_found, reg_1m, ref_fps)),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -252,19 +252,29 @@ def refine_pnp_gn(obj_pts, img_pts, rvec0, tvec0, K, dist=None,
     res_fn = lambda p: _residuals(p, obj_pts, img_pts, K, dist, w)
     jac_fn = jax.jacfwd(res_fn)
 
-    def body(_, p):
+    # adaptive Levenberg-Marquardt: a fixed tiny damping with
+    # accept-only-if-better stalls permanently after the first GN
+    # overshoot (every later full-GN step repeats the same rejection);
+    # shrinking lambda on success and growing it on rejection converges
+    # to the local optimum like cv2's LM does (the r4 adversarial sweep
+    # sat ~1% above cv2's reprojection objective under 2 px noise).
+    def body(_, state):
+        p, lam = state
         r = res_fn(p)
         Jm = jac_fn(p)
         JTJ = Jm.T @ Jm
         JTr = Jm.T @ r
-        lam = damping * jnp.trace(JTJ) / 6.0
-        step = jnp.linalg.solve(JTJ + lam * jnp.eye(6, dtype=p.dtype), JTr)
+        mu = lam * jnp.trace(JTJ) / 6.0
+        step = jnp.linalg.solve(JTJ + mu * jnp.eye(6, dtype=p.dtype), JTr)
         p_new = p - step
-        # accept only if error decreases (cheap trust region)
         better = jnp.sum(res_fn(p_new) ** 2) < jnp.sum(r ** 2)
-        return jnp.where(better, p_new, p)
+        p = jnp.where(better, p_new, p)
+        lam = jnp.where(better, jnp.maximum(lam / 3.0, 1e-9),
+                        jnp.minimum(jnp.maximum(lam * 8.0, 1e-4), 1e6))
+        return p, lam
 
-    p = jax.lax.fori_loop(0, iters, body, p0)
+    p, _ = jax.lax.fori_loop(0, iters, body,
+                             (p0, jnp.asarray(damping, p0.dtype)))
     proj = project_points(obj_pts, p[:3], p[3:], K, dist)
     per_pt = jnp.linalg.norm(proj - img_pts, axis=-1)
     err = jnp.sum(per_pt * (w > 0)) / jnp.maximum(jnp.sum(w > 0), 1)

@@ -1,3 +1,4 @@
+import cv2
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -87,3 +88,234 @@ def test_detect_checkerboard_corners():
                                                jnp.asarray(got)))
     err = np.abs(refined - truth).max()
     assert err < 0.35, err
+
+
+# ---------------------------------------------------------------------------
+# Reference-robustness sweep (VERDICT r3 next #6): realistic oblique /
+# blurred / vignetted / lens-distorted board renders, with OpenCV's own
+# findChessboardCornersSB(EXHAUSTIVE|ACCURACY) — the reference's detector
+# (checkerboard_callibration.py:109-127) — as the oracle on the SAME pixels.
+# ---------------------------------------------------------------------------
+
+COLS, ROWS = 9, 7          # inner corners
+SQUARE = 0.0127
+IMG_W, IMG_H = 640, 480
+
+
+def _board_pattern(X, Y):
+    """Board-plane intensity at board coords (meters): (COLS+1)x(ROWS+1)
+    squares anchored at the origin, white surround."""
+    i = np.floor(X / SQUARE)
+    j = np.floor(Y / SQUARE)
+    inside = (i >= 0) & (i <= COLS) & (j >= 0) & (j <= ROWS)
+    dark = ((i + j) % 2 == 0) & inside
+    return np.where(dark, 45.0, 205.0)
+
+
+def _render_view(K, dist, R, t, ss=3, blur=0.0, vignette=0.0, noise=0.0,
+                 seed=0):
+    """Physically-faithful render: for every (supersampled) DISTORTED pixel,
+    invert the lens model (cv2.undistortPoints), intersect the board plane
+    via the plane-induced homography, sample the pattern, then average
+    subsamples, vignette, blur, quantize."""
+    u = (np.arange(IMG_W * ss) + 0.5) / ss - 0.5
+    v = (np.arange(IMG_H * ss) + 0.5) / ss - 0.5
+    uu, vv = np.meshgrid(u, v)
+    pts = np.stack([uu.reshape(-1), vv.reshape(-1)], -1).astype(np.float64)
+    ideal = cv2.undistortPoints(pts[:, None, :], K, dist)[:, 0, :]
+    # normalized ray (x,y,1) -> board plane: [r1 r2 t] [X Y 1]^T ~ ray
+    M = np.column_stack([R[:, 0], R[:, 1], t])
+    b = np.linalg.solve(M, np.column_stack(
+        [ideal, np.ones(len(ideal))]).T).T
+    X = b[:, 0] / b[:, 2]
+    Y = b[:, 1] / b[:, 2]
+    img = _board_pattern(X, Y).reshape(IMG_H, ss, IMG_W, ss).mean((1, 3))
+    if vignette > 0:
+        yy, xx = np.mgrid[0:IMG_H, 0:IMG_W]
+        r2 = ((xx - IMG_W / 2) ** 2 + (yy - IMG_H / 2) ** 2) / \
+            ((IMG_W / 2) ** 2 + (IMG_H / 2) ** 2)
+        img = img * (1.0 - vignette * r2)
+    if blur > 0:
+        img = cv2.GaussianBlur(img, (0, 0), blur)
+    if noise > 0:
+        img = img + np.random.default_rng(seed).normal(0, noise, img.shape)
+    return np.clip(img, 0, 255)
+
+
+def _truth_corners(K, dist, R, t):
+    obj = board_points(COLS, ROWS, SQUARE) + [SQUARE, SQUARE, 0.0]
+    rvec, _ = cv2.Rodrigues(R)
+    uv, _ = cv2.projectPoints(obj.astype(np.float64), rvec,
+                              t.astype(np.float64), K, dist)
+    return obj, uv[:, 0]
+
+
+def _pose(tilt_deg=30.0, yaw_deg=10.0, z=0.55, roll_deg=4.0,
+          dx=0.0, dy=0.0):
+    cx_b = (COLS + 1) * SQUARE / 2
+    cy_b = (ROWS + 1) * SQUARE / 2
+    Rr, _ = cv2.Rodrigues(np.array([0, 0, np.radians(roll_deg)]))
+    Rt, _ = cv2.Rodrigues(np.array([np.radians(tilt_deg), 0, 0]))
+    Ry, _ = cv2.Rodrigues(np.array([0, np.radians(yaw_deg), 0]))
+    R = Rr @ Rt @ Ry
+    t = np.array([dx, dy, z]) - R @ [cx_b, cy_b, 0.0]
+    return R, t
+
+
+K_CAL = np.array([[600.0, 0, 322.0], [0, 599.0, 241.5], [0, 0, 1.0]])
+
+SWEEP = {
+    "oblique": dict(pose=_pose(tilt_deg=50, yaw_deg=18),
+                    dist=np.zeros(5), blur=0.6, vignette=0.0, noise=1.0),
+    "blurred": dict(pose=_pose(tilt_deg=25), dist=np.zeros(5),
+                    blur=1.8, vignette=0.0, noise=1.0),
+    "vignetted": dict(pose=_pose(tilt_deg=30, yaw_deg=-12),
+                      dist=np.zeros(5), blur=0.6, vignette=0.55, noise=1.0),
+    "distorted": dict(pose=_pose(tilt_deg=35, yaw_deg=8),
+                      dist=np.array([-0.28, 0.09, 0.001, -0.001, 0.0]),
+                      blur=0.6, vignette=0.2, noise=1.0),
+}
+
+
+def _match(corners, truth):
+    """Nearest-truth assignment; asserts it is a bijection."""
+    d = np.linalg.norm(corners[:, None, :] - truth[None, :, :], axis=-1)
+    j = np.argmin(d, axis=1)
+    assert len(set(j.tolist())) == len(truth), "corner matching not 1-1"
+    return j, d[np.arange(len(j)), j]
+
+
+@pytest.mark.parametrize("name", list(SWEEP))
+def test_checkerboard_corners_vs_sb_oracle(name):
+    cfg = SWEEP[name]
+    R, t = cfg["pose"]
+    dist = cfg["dist"].astype(np.float64)
+    img = _render_view(K_CAL, dist, R, t, blur=cfg["blur"],
+                       vignette=cfg["vignette"], noise=cfg["noise"])
+    _, truth = _truth_corners(K_CAL, dist, R, t)
+
+    img_u8 = img.astype(np.uint8)
+    ok_sb, sb = cv2.findChessboardCornersSB(
+        img_u8, (COLS, ROWS),
+        flags=cv2.CALIB_CB_EXHAUSTIVE | cv2.CALIB_CB_ACCURACY)
+    assert ok_sb, f"oracle failed on {name} (render too hard)"
+    sb = sb.reshape(-1, 2)   # cv2 5.0 returns (N,2); 4.x returned (N,1,2)
+
+    got, ok = detect_checkerboard_corners(jnp.asarray(img.astype(np.float32)),
+                                          cols=COLS, rows=ROWS)
+    assert bool(ok), f"repo detector failed on {name}"
+    got = np.asarray(refine_corners_subpix(
+        jnp.asarray(img.astype(np.float32)), got))
+
+    j_sb, e_sb = _match(sb, truth)
+    j_rp, e_rp = _match(got, truth)
+    # pair repo corners with the oracle's via the shared truth index
+    inv = np.empty(len(truth), int)
+    inv[j_sb] = np.arange(len(sb))
+    dev = np.linalg.norm(got - sb[inv[j_rp]], axis=1)
+    if dev.mean() >= 0.10:
+        # deviation-from-oracle is only meaningful while the oracle is
+        # itself sub-0.1 px accurate; at 50 deg tilt SB's own truth error
+        # is ~0.17 px mean (measured on this render). When the oracle
+        # drifts, the honest gate is absolute: the repo must be at least
+        # as accurate against the analytic render truth, and tightly so.
+        assert e_rp.mean() <= e_sb.mean(), (name, e_rp.mean(), e_sb.mean())
+        assert e_rp.mean() < 0.10, (name, e_rp.mean())
+    # absolute accuracy must never hide behind a biased oracle
+    assert e_rp.mean() <= e_sb.mean() + 0.10, (name, e_rp.mean(), e_sb.mean())
+
+
+def test_calibrate_20_hard_views_vs_cv2():
+    """20 oblique/blurred/vignetted/distorted renders; full repo pipeline
+    (detect -> subpix -> Zhang+LM) vs cv2 (SB -> calibrateCamera) on the
+    SAME images (checkerboard_callibration.py:109-127,229-254)."""
+    rng = np.random.default_rng(11)
+    dist = np.array([-0.22, 0.07, 0.0008, -0.0012, 0.0])
+    obj = board_points(COLS, ROWS, SQUARE) + [SQUARE, SQUARE, 0.0]
+    objs, repo_c, cv_c = [], [], []
+    n_target = 20
+    tries = 0
+    while len(objs) < n_target and tries < 80:
+        tries += 1
+        # lateral offsets push corners toward the image borders — without
+        # them every view centers the board, radial distortion never gets
+        # edge coverage, and k1/k2 alias into fx (measured: cv2-on-SB then
+        # fits k1=+0.36 for true k1=-0.22 while repo corners give a
+        # different but equally valid fx/k trade — a test-design artifact,
+        # not a solver difference)
+        R, t = _pose(tilt_deg=rng.uniform(10, 45),
+                     yaw_deg=rng.uniform(-30, 30),
+                     roll_deg=rng.uniform(-15, 15),
+                     z=rng.uniform(0.45, 0.75),
+                     dx=rng.uniform(-0.15, 0.15),
+                     dy=rng.uniform(-0.11, 0.11))
+        img = _render_view(K_CAL, dist, R, t, ss=2,
+                           blur=rng.uniform(0.5, 1.2),
+                           vignette=rng.uniform(0.0, 0.4),
+                           noise=1.0, seed=tries)
+        _, truth = _truth_corners(K_CAL, dist, R, t)
+        if truth.min() < 6 or truth[:, 0].max() > IMG_W - 6 \
+                or truth[:, 1].max() > IMG_H - 6:
+            continue
+        ok_sb, sb = cv2.findChessboardCornersSB(
+            img.astype(np.uint8), (COLS, ROWS),
+            flags=cv2.CALIB_CB_EXHAUSTIVE | cv2.CALIB_CB_ACCURACY)
+        got, ok = detect_checkerboard_corners(
+            jnp.asarray(img.astype(np.float32)), cols=COLS, rows=ROWS)
+        if not (ok_sb and bool(ok)):
+            continue
+        got = np.asarray(refine_corners_subpix(
+            jnp.asarray(img.astype(np.float32)), got))
+        # put both in truth order so view poses are consistent
+        sb = sb.reshape(-1, 2)
+        j_sb, _ = _match(sb, truth)
+        j_rp, _ = _match(got, truth)
+        sb_o = np.empty_like(sb); sb_o[j_sb] = sb
+        rp_o = np.empty_like(got); rp_o[j_rp] = got
+        objs.append(obj); repo_c.append(rp_o); cv_c.append(sb_o)
+    assert len(objs) >= 15, f"only {len(objs)} usable views"
+
+    K_r, d_r, rms_r, _, _ = calibrate_camera(
+        np.stack(objs), np.stack(repo_c).astype(np.float32),
+        (IMG_W, IMG_H), iters=80)
+
+    crit = (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 100, 1e-6)
+    # --- solver parity: cv2.calibrateCamera on the SAME (repo) corners
+    # must land on the same optimum as the repo's Zhang+LM. This is the
+    # calibrateCamera-equivalence claim, decoupled from detector deltas.
+    rms_same, K_same, d_same, _, _ = cv2.calibrateCamera(
+        [o.astype(np.float32) for o in objs],
+        [c.astype(np.float32)[:, None, :] for c in repo_c],
+        (IMG_W, IMG_H), None, None, criteria=crit)
+    d_same = d_same.reshape(-1)
+    np.testing.assert_allclose(K_r[0, 0], K_same[0, 0], rtol=1e-3)
+    np.testing.assert_allclose(K_r[1, 1], K_same[1, 1], rtol=1e-3)
+    assert abs(K_r[0, 2] - K_same[0, 2]) < 0.5
+    assert abs(K_r[1, 2] - K_same[1, 2]) < 0.5
+    np.testing.assert_allclose(d_r[:2], d_same[:2], atol=5e-3)
+    assert rms_r <= rms_same * 1.05 + 1e-3, (rms_r, rms_same)
+
+    # --- end-to-end: full cv2 pipeline (SB corners) on the same images;
+    # both pipelines must recover the render truth. Corner-placement
+    # deltas between detectors move fx by ~1%, in this sweep with the
+    # repo LANDING CLOSER to truth than cv2+SB — so the cross-pipeline
+    # gate is the truth gate on both, not a tight repo-vs-cv2 equality.
+    rms_cv, K_cv, d_cv, _, _ = cv2.calibrateCamera(
+        [o.astype(np.float32) for o in objs],
+        [c.astype(np.float32)[:, None, :] for c in cv_c],
+        (IMG_W, IMG_H), None, None, criteria=crit)
+    d_cv = d_cv.reshape(-1)
+    np.testing.assert_allclose(K_r[0, 0], K_cv[0, 0], rtol=2e-2)
+    np.testing.assert_allclose(K_r[1, 1], K_cv[1, 1], rtol=2e-2)
+    assert abs(K_r[0, 2] - K_cv[0, 2]) < 4.0
+    assert abs(K_r[1, 2] - K_cv[1, 2]) < 4.0
+    assert rms_r < max(1.25 * rms_cv, 0.35), (rms_r, rms_cv)
+    # absolute accuracy vs the render truth — repo within 1% / 4 px /
+    # 0.03 on k1, and no worse than the cv2 pipeline's own truth error
+    np.testing.assert_allclose(K_r[0, 0], K_CAL[0, 0], rtol=0.01)
+    np.testing.assert_allclose(K_r[1, 1], K_CAL[1, 1], rtol=0.01)
+    assert abs(K_r[0, 2] - K_CAL[0, 2]) < 4.0
+    assert abs(K_r[1, 2] - K_CAL[1, 2]) < 4.0
+    np.testing.assert_allclose(d_r[0], dist[0], atol=0.03)
+    assert (abs(K_r[0, 0] - K_CAL[0, 0])
+            <= abs(K_cv[0, 0] - K_CAL[0, 0]) + 2.0)

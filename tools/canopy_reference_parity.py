@@ -48,7 +48,7 @@ def rotate_info(bgr):
     if lines is None:
         return None, bgr
     for line in lines:
-        x1, y1, x2, y2 = line[0]
+        x1, y1, x2, y2 = np.ravel(line)[:4]   # cv2 5.0: (N,4); 4.x: (N,1,4)
         length = math.hypot(x2 - x1, y2 - y1)
         ang = math.degrees(math.atan2(y2 - y1, x2 - x1))
         if length > bgr.shape[1] * 0.1 and (abs(ang) < 20 or abs(ang) > 160):
