@@ -91,6 +91,48 @@ class CameraBackend:
     def frames(self) -> Iterator[Frame]:
         raise NotImplementedError
 
+    # -- hardware-bound hooks (C27 remainder; VERDICT r4 next #9) -------
+    # Real-SDK adapters override these with the reference semantics so
+    # they are drop-in once hardware exists; the replay backend keeps the
+    # defaults (always "connected", rescue is a no-op success).
+
+    def device_status(self) -> dict:
+        """Device enumeration / health snapshot.
+
+        Reference contract (`test_camera_status.py:1-15`,
+        `rgbd_viewer.py:92-140`): enumerate connected devices and report,
+        per device, name/serial/firmware plus which streams are currently
+        deliverable. Keys an SDK adapter should populate:
+
+          {"connected": bool,               # any device enumerated
+           "devices": [{"name": str, "serial": str, "firmware": str}],
+           "depth_ok": bool,                # depth frames arriving
+           "color_ok": bool,                # color frames arriving
+           "emitter_enabled": bool | None}  # laser/emitter state if
+                                            # queryable (rgbd_viewer.py
+                                            # pokes LASER_CONTROL/
+                                            # emitter_enabled properties)
+        """
+        return {"connected": True, "devices": [],
+                "depth_ok": True, "color_ok": True,
+                "emitter_enabled": None}
+
+    def rescue(self) -> bool:
+        """Attempt depth-stream recovery; True when frames flow again.
+
+        Reference contract ("rescue mode", `rgbd_viewer.py:138-219`): on
+        depth startup failure, (1) poke emitter/laser power properties
+        (LASER_CONTROL int, emitter_enabled bool — each wrapped in its
+        own try since firmwares differ), then retry the stream config
+        ladder exact -> same-size-any-format -> default (select_profile
+        above), then (2) fall back through device re-enumeration
+        strategies: reopen by serial, reopen by index 0, full SDK
+        context restart. Adapters should bound the whole ladder in time
+        and NEVER raise — the caller treats False as "stay on last good
+        frame / switch backends".
+        """
+        return True
+
 
 _TS_RE = re.compile(r"(\d{8}[_T]?\d{6}|\d{4}-\d{2}-\d{2}T\d{6})")
 

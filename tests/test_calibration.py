@@ -194,18 +194,21 @@ def test_checkerboard_corners_vs_sb_oracle(name):
                        vignette=cfg["vignette"], noise=cfg["noise"])
     _, truth = _truth_corners(K_CAL, dist, R, t)
 
+    # quantize ONCE and feed the same u8 pixels to both detectors — the
+    # repo detector previously saw the unquantized float render, i.e.
+    # sub-quantization information cv2 cannot see (ADVICE r4)
     img_u8 = img.astype(np.uint8)
+    img_f = img_u8.astype(np.float32)
     ok_sb, sb = cv2.findChessboardCornersSB(
         img_u8, (COLS, ROWS),
         flags=cv2.CALIB_CB_EXHAUSTIVE | cv2.CALIB_CB_ACCURACY)
     assert ok_sb, f"oracle failed on {name} (render too hard)"
     sb = sb.reshape(-1, 2)   # cv2 5.0 returns (N,2); 4.x returned (N,1,2)
 
-    got, ok = detect_checkerboard_corners(jnp.asarray(img.astype(np.float32)),
+    got, ok = detect_checkerboard_corners(jnp.asarray(img_f),
                                           cols=COLS, rows=ROWS)
     assert bool(ok), f"repo detector failed on {name}"
-    got = np.asarray(refine_corners_subpix(
-        jnp.asarray(img.astype(np.float32)), got))
+    got = np.asarray(refine_corners_subpix(jnp.asarray(img_f), got))
 
     j_sb, e_sb = _match(sb, truth)
     j_rp, e_rp = _match(got, truth)
@@ -257,15 +260,17 @@ def test_calibrate_20_hard_views_vs_cv2():
         if truth.min() < 6 or truth[:, 0].max() > IMG_W - 6 \
                 or truth[:, 1].max() > IMG_H - 6:
             continue
+        # quantize once; both stacks see the same u8 pixels (ADVICE r4)
+        img_u8 = img.astype(np.uint8)
+        img_f = img_u8.astype(np.float32)
         ok_sb, sb = cv2.findChessboardCornersSB(
-            img.astype(np.uint8), (COLS, ROWS),
+            img_u8, (COLS, ROWS),
             flags=cv2.CALIB_CB_EXHAUSTIVE | cv2.CALIB_CB_ACCURACY)
         got, ok = detect_checkerboard_corners(
-            jnp.asarray(img.astype(np.float32)), cols=COLS, rows=ROWS)
+            jnp.asarray(img_f), cols=COLS, rows=ROWS)
         if not (ok_sb and bool(ok)):
             continue
-        got = np.asarray(refine_corners_subpix(
-            jnp.asarray(img.astype(np.float32)), got))
+        got = np.asarray(refine_corners_subpix(jnp.asarray(img_f), got))
         # put both in truth order so view poses are consistent
         sb = sb.reshape(-1, 2)
         j_sb, _ = _match(sb, truth)

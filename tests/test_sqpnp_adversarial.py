@@ -16,6 +16,8 @@ best-order search uses — it scores by reprojection error, not by pose).
 """
 from __future__ import annotations
 
+import zlib
+
 import cv2
 import jax
 import jax.numpy as jnp
@@ -96,19 +98,31 @@ def _reproj_err(obj, uv, K, rvec, tvec):
 @pytest.mark.parametrize("family",
                          ["planar", "near_planar", "wide_fov", "high_noise"])
 def test_sqpnp_adversarial_vs_cv2(family):
-    rng = np.random.default_rng(hash(family) % 2 ** 31)
+    # crc32, not hash(): Python string hashing is salted per process, so
+    # hash(family) drew a different 1000-case sweep every run and failures
+    # were unreproducible (ADVICE r4)
+    rng = np.random.default_rng(zlib.crc32(family.encode()))
     cases = []
-    while len(cases) < N_PER_FAMILY:
+    for _ in range(20 * N_PER_FAMILY):
+        if len(cases) >= N_PER_FAMILY:
+            break
         c = _make_case(rng, family)
         if c is not None:
             cases.append(c)
+    assert len(cases) == N_PER_FAMILY, \
+        f"case generation exhausted at {len(cases)}/{N_PER_FAMILY}"
 
     Ks = np.stack([c[0] for c in cases]).astype(np.float32)
     objs = np.stack([c[1] for c in cases]).astype(np.float32)
     uvs = np.stack([c[2] for c in cases]).astype(np.float32)
 
+    # 60 LM iterations: at 2 px noise the curvature near the optimum is
+    # shallow and 20 iters leaves ~0.1 px of RMS on the table (case 98 of
+    # the crc32 high_noise sweep converges 3.047 -> 2.924 between 20 and
+    # 60 iters, crossing below cv2's 2.932) — the contract is "at least
+    # as good as cv2's objective", so run the refiner to convergence
     solve = jax.jit(jax.vmap(
-        lambda o, u, K: solve_pnp_sqpnp(o, u, K, refine_iters=20)))
+        lambda o, u, K: solve_pnp_sqpnp(o, u, K, refine_iters=60)))
     R_j, t_j, err_j = map(np.asarray, solve(objs, uvs, Ks))
 
     n_pose_match = 0
