@@ -207,15 +207,20 @@ def _time_robust_ladder():
 
 
 def _time_registration_1m():
-    """Reference-scale global registration (icp_cad_model.py:38-42 samples
-    1M points): grid normals + FPFH + chunked matching + batched RANSAC at
-    1,000,000 points on the chip. Returns wall seconds (steady-state)."""
-    import jax
+    """Reference-scale registration (align_postop_to_preop,
+    icp_cad_model.py:62-96: 1M samples -> voxel downsample at 2% AABB
+    diag -> FPFH+RANSAC on the downsampled clouds -> point-to-plane ICP
+    on the FULL 1M clouds at 1.5*voxel). Returns wall seconds.
+
+    r3/r4 ran FPFH on the RAW 1M cloud at radius 0.02 — at ~1 mm point
+    spacing every k-NN neighborhood is a locally-planar few-mm patch, all
+    descriptors look alike, matching is random, and RANSAC fitness was
+    0.003 (the silent nulls of two rounds). The reference never does
+    that: its FPFH scales hang off the voxel downsample."""
     import jax.numpy as jnp
 
-    from repas_tpu.cloud.fpfh import (fpfh_features, match_features,
-                                      ransac_registration)
-    from repas_tpu.cloud.normals import estimate_normals_grid
+    from repas_tpu.cloud.registration import register_clouds
+    from repas_tpu.core.transforms import rodrigues
 
     n = 1_000_000
     rng = np.random.default_rng(7)
@@ -225,29 +230,23 @@ def _time_registration_1m():
     pts[:, 2] = (0.08 * np.sin(7 * pts[:, 0]) * np.cos(5 * pts[:, 1])
                  + 0.05 * pts[:, 0] ** 2)
     tgt = jnp.asarray(pts)
-    src = jnp.asarray(
-        (pts - np.array([0.05, -0.04, 0.03], np.float32))
-        @ np.array([[0.9950, 0.0998, 0], [-0.0998, 0.9950, 0], [0, 0, 1]],
-                   np.float32))
+    rv = np.array([0.04, -0.06, 0.30], np.float32)
+    t_true = np.array([0.06, -0.04, 0.05], np.float32)
+    R = np.asarray(rodrigues(jnp.asarray(rv)))
+    src = jnp.asarray(((pts - t_true) @ R).astype(np.float32))
     mask = jnp.ones(n, bool)
 
     def run():
-        nrm_s, _ = estimate_normals_grid(src, mask, k=16, radius=0.02,
-                                         camera=jnp.array([0., 0., 5.]))
-        nrm_t, _ = estimate_normals_grid(tgt, mask, k=16, radius=0.02,
-                                         camera=jnp.array([0., 0., 5.]))
-        f_s = fpfh_features(src, nrm_s, mask, radius=0.02, k=16)
-        f_t = fpfh_features(tgt, nrm_t, mask, radius=0.02, k=16)
-        corr, _ = match_features(f_s, mask, f_t, mask, chunk=512)
-        T, fit = ransac_registration(src, mask, tgt, mask, corr,
-                                     dist_thresh=0.03, n_hypotheses=8192)
-        return float(np.asarray(fit)), np.asarray(T)
+        res, fit_g, voxel = register_clouds(src, mask, tgt, mask, seed=7)
+        return res, fit_g
 
-    fit, T = run()                       # compile + correctness
-    if fit < 0.3:
+    res, fit_g = run()                   # compile + correctness
+    err_t = float(np.linalg.norm(np.asarray(res.T)[:3, 3] - t_true))
+    if float(res.fitness) < 0.3 or err_t > 0.02:
         # NOT a silent None: a low fit at reference scale is a functional
         # defect signal, not "skip the bench" (VERDICT r4 weak #2)
-        return None, f"low_fitness={fit:.3f}"
+        return None, (f"low_fitness={float(res.fitness):.3f}"
+                      f"_terr={err_t:.4f}_ransac={fit_g:.3f}")
     t0 = time.perf_counter()
     run()
     return time.perf_counter() - t0, "ok"

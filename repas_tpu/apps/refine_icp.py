@@ -15,10 +15,6 @@ import numpy as np
 
 from repas_tpu.apps._common import emit_json, log
 from repas_tpu.cloud.cad import refine_with_icp
-from repas_tpu.cloud.filters import voxel_downsample
-from repas_tpu.cloud.fpfh import (fpfh_features, match_features,
-                                  ransac_registration)
-from repas_tpu.cloud.normals import estimate_normals
 from repas_tpu.core.config import ICPConfig, RansacConfig
 from repas_tpu.io.meta import write_meta
 from repas_tpu.io.ply import PointCloud, TriangleMesh, read_geometry, write_ply
@@ -49,30 +45,20 @@ def global_register(src_pts, tgt_pts, cfg: RansacConfig = RansacConfig(),
                     seed: int = 0):
     """RANSAC + FPFH global registration (icp_cad_model.py:62-96):
     voxel = cfg.voxel_frac_of_diag * AABB diagonal; FPFH radius = 5*voxel;
-    distance checker at 2.5*voxel."""
+    distance checker at 2.5*voxel. Delegates to the package recipe
+    (cloud.registration.global_register_fpfh), which downsamples and
+    compacts before FPFH — the scales only make sense post-downsample."""
+    from repas_tpu.cloud.registration import global_register_fpfh
+
     both = np.concatenate([src_pts, tgt_pts])
     diag = float(np.linalg.norm(both.max(0) - both.min(0)))
-    voxel = cfg.voxel_frac_of_diag * diag
-    out = {}
-    clouds = []
-    for pts in (src_pts, tgt_pts):
-        p = jnp.asarray(pts, jnp.float32)
-        m = jnp.ones(len(pts), bool)
-        pd, _, _, md = voxel_downsample(p, m, voxel)
-        nrm, _ = estimate_normals(pd, md, k=24, radius=2.5 * voxel)
-        feat = fpfh_features(pd, nrm, md, radius=cfg.fpfh_radius_mult * voxel)
-        clouds.append((pd, md, feat))
-    (sp, sm, sf), (tp, tm, tf) = clouds
-    corr, _ = match_features(sf, sm, tf, tm)
-    import jax
-
-    T, fitness = ransac_registration(
-        sp, sm, tp, tm, corr,
-        dist_thresh=cfg.dist_check_mult * voxel,
-        edge_check=cfg.edge_length_check,
-        n_hypotheses=cfg.hypothesis_batch,
-        key=jax.random.PRNGKey(seed))
-    return np.asarray(T, dtype=np.float64), float(fitness), voxel
+    voxel = max(cfg.voxel_frac_of_diag * diag, 1e-3)
+    T, fitness, _ = global_register_fpfh(
+        jnp.asarray(src_pts, jnp.float32), jnp.ones(len(src_pts), bool),
+        jnp.asarray(tgt_pts, jnp.float32), jnp.ones(len(tgt_pts), bool),
+        voxel, n_hypotheses=cfg.hypothesis_batch,
+        edge_check=cfg.edge_length_check, seed=seed)
+    return T, fitness, voxel
 
 
 def main(argv=None):

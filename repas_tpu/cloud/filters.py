@@ -81,6 +81,24 @@ def voxel_downsample(pts: jnp.ndarray, mask: jnp.ndarray, voxel: float,
     return out_pts, out_cols, out_nrm, is_rep
 
 
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def compact_masked(pts: jnp.ndarray, mask: jnp.ndarray, capacity: int):
+    """Pack the masked-valid rows of a fixed-shape cloud into the first
+    `capacity` slots (static shape, device-side — no host sync).
+
+    Voxel downsampling keeps the input's N with a sparse validity mask;
+    running FPFH/matching over all N rows wastes N/V of the work (and a
+    1M x 1M feature-distance matmul at V~2k real rows is ~600x too much
+    compute). argsort(~mask) is stable, so valid rows keep their relative
+    order. Returns (pts (capacity,3), ok (capacity,), n_valid ()) —
+    n_valid > capacity means rows were dropped; callers should size
+    capacity generously (it only costs capacity x k downstream work).
+    """
+    order = jnp.argsort(~mask)               # valid rows first, stable
+    idx = order[:capacity]
+    return pts[idx], mask[idx], jnp.sum(mask.astype(jnp.int32))
+
+
 def statistical_outlier_mask(pts: jnp.ndarray, mask: jnp.ndarray,
                              nb_neighbors: int = 20, std_ratio: float = 2.0,
                              sample: int = 2048, key=None) -> jnp.ndarray:

@@ -117,3 +117,95 @@ def evaluate_registration(src, src_mask, tgt, tgt_mask, T,
     m = jnp.maximum(jnp.sum(w), 1.0)
     return (jnp.sum(w) / jnp.maximum(jnp.sum(src_mask), 1),
             jnp.sqrt(jnp.sum(w * dist * dist) / m))
+
+
+def _aabb_diag(src, src_mask, tgt, tgt_mask):
+    """Diagonal of the combined AABB (auto_voxel_from_meshes,
+    icp_cad_model.py:53-62) — one 6-scalar host pull."""
+    big = jnp.concatenate([jnp.where(src_mask[:, None], src, jnp.inf),
+                           jnp.where(tgt_mask[:, None], tgt, jnp.inf)])
+    small = jnp.concatenate([jnp.where(src_mask[:, None], src, -jnp.inf),
+                             jnp.where(tgt_mask[:, None], tgt, -jnp.inf)])
+    lo = jnp.min(big, axis=0)
+    hi = jnp.max(small, axis=0)
+    return float(jnp.linalg.norm(hi - lo))
+
+
+def global_register_fpfh(src, src_mask, tgt, tgt_mask, voxel: float,
+                         capacity: int = 8192, n_hypotheses: int = 8192,
+                         edge_check: float = 0.9, seed: int = 0):
+    """Global registration at the reference's scales (preprocess_pcd +
+    RANSAC, icp_cad_model.py:44-90): voxel downsample BOTH clouds, then
+    normals at 2*voxel, FPFH at 5*voxel, feature matching, and batched
+    3-point RANSAC with edge-length 0.9 + distance 2.5*voxel checkers.
+
+    The downsample is the load-bearing step the scales hang off: FPFH on
+    the RAW dense cloud is degenerate (at 1M points / ~1 mm spacing a
+    k-NN neighborhood spans a few mm of locally-planar surface, every
+    descriptor looks alike, and matching is random — measured fitness
+    0.003; the r3/r4 bench nulls were exactly this). Downsampled points
+    are compacted to `capacity` static slots so every downstream stage
+    costs O(capacity), not O(N).
+
+    Returns (T (4,4) np, fitness float, n_down int — if n_down exceeds
+    capacity the extra voxels were dropped; raise capacity)."""
+    import jax as _jax
+    import numpy as np
+
+    from repas_tpu.cloud.filters import compact_masked, voxel_downsample
+    from repas_tpu.cloud.fpfh import (fpfh_features, match_features,
+                                      ransac_registration)
+    from repas_tpu.cloud.normals import estimate_normals_grid
+
+    clouds = []
+    n_down = 0
+    for pts, mask in ((src, src_mask), (tgt, tgt_mask)):
+        pd, _, _, md = voxel_downsample(jnp.asarray(pts, jnp.float32),
+                                        mask, voxel)
+        pc, mc, nv = compact_masked(pd, md, capacity)
+        n_down = max(n_down, int(nv))
+        nrm, _ = estimate_normals_grid(pc, mc, k=24, radius=2.0 * voxel,
+                                       dims=(32, 32, 32), slots=32)
+        feat = fpfh_features(pc, nrm, mc, radius=5.0 * voxel, k=48,
+                             dims=(32, 32, 32), slots=32)
+        clouds.append((pc, mc, feat))
+    (sp, sm, sf), (tp, tm, tf) = clouds
+    corr, _ = match_features(sf, sm, tf, tm, chunk=1024)
+    T, fitness = ransac_registration(sp, sm, tp, tm, corr,
+                                     dist_thresh=2.5 * voxel,
+                                     edge_check=edge_check,
+                                     n_hypotheses=n_hypotheses,
+                                     key=_jax.random.PRNGKey(seed))
+    return np.asarray(T, np.float64), float(fitness), n_down
+
+
+def register_clouds(src, src_mask, tgt, tgt_mask, voxel: float | None = None,
+                    capacity: int = 8192, n_hypotheses: int = 8192,
+                    icp_iters: int = 100, seed: int = 0,
+                    icp_dims: tuple = (64, 64, 64)):
+    """The reference's complete two-stage alignment
+    (align_postop_to_preop, icp_cad_model.py:62-96): voxel = 2% of the
+    combined AABB diagonal (floored at 1 mm), FPFH+RANSAC global init on
+    the downsampled clouds, then point-to-plane ICP on the FULL dense
+    clouds at 1.5*voxel correspondence distance, 100 iterations.
+
+    Returns (ICPResult, ransac_fitness, voxel). Host-orchestrated: each
+    stage is its own jitted program (the stages have incompatible shapes
+    — capacity-compact vs full-N — and a single fused program would
+    recompile per cloud size for no reuse)."""
+    from repas_tpu.cloud.normals import estimate_normals_grid
+
+    src = jnp.asarray(src, jnp.float32)
+    tgt = jnp.asarray(tgt, jnp.float32)
+    if voxel is None:
+        voxel = max(0.02 * _aabb_diag(src, src_mask, tgt, tgt_mask), 1e-3)
+    T0, fit_g, n_down = global_register_fpfh(
+        src, src_mask, tgt, tgt_mask, voxel, capacity=capacity,
+        n_hypotheses=n_hypotheses, seed=seed)
+    nrm_t, _ = estimate_normals_grid(tgt, tgt_mask, k=16,
+                                     radius=2.0 * voxel)
+    res = icp_point_to_plane(src, src_mask, tgt, tgt_mask, nrm_t,
+                             max_corr_dist=1.5 * voxel,
+                             max_iters=icp_iters, T_init=T0,
+                             dims=icp_dims)
+    return res, fit_g, voxel

@@ -226,20 +226,8 @@ def test_fpfh_chunk_invariance(rng):
                                atol=1e-3)
 
 
-@pytest.mark.skipif(not __import__("os").environ.get("REPAS_GOLDEN"),
-                    reason="set REPAS_GOLDEN=1 (reference-scale registration)")
-def test_global_registration_reference_scale(rng):
-    """VERDICT r2 next #8: the reference samples 1M points with 200k RANSAC
-    iterations (icp_cad_model.py:38-42). Run the full grid-normals + FPFH +
-    RANSAC chain at 1M points on the TPU backend (250k on the CPU suite so
-    the golden stays tractable on this 1-core host), bounded memory, no
-    silent subsampling, and recover a known pose."""
-    import os
-    import time
-
-    from repas_tpu.cloud.normals import estimate_normals_grid
-
-    n = 1_000_000 if os.environ.get("REPAS_TEST_TPU") else 250_000
+def _surface_pair(rng, n):
+    """Known-pose (src, tgt, R, t) pair on a bumpy analytic surface."""
     pts = np.column_stack([
         rng.uniform(-0.5, 0.5, n), rng.uniform(-0.5, 0.5, n),
         np.zeros(n)]).astype(np.float32)
@@ -251,30 +239,70 @@ def test_global_registration_reference_scale(rng):
     t = np.array([0.06, -0.04, 0.05], dtype=np.float32)
     R = np.asarray(rodrigues(jnp.asarray(rv)))
     src = ((tgt - t) @ R).astype(np.float32)
+    return src, tgt, R, t
 
+
+def test_register_clouds_recipe(rng):
+    """The reference's complete two-stage recipe (align_postop_to_preop,
+    icp_cad_model.py:62-96: 2%-diag voxel downsample -> FPFH+RANSAC
+    global init -> full-res point-to-plane ICP at 1.5*voxel) recovers a
+    known pose end-to-end, through the package-level register_clouds."""
+    from repas_tpu.cloud.registration import register_clouds
+
+    n = 30_000
+    src, tgt, R, t = _surface_pair(rng, n)
     mask = jnp.ones(n, bool)
-    radius = 0.02
-    t0 = time.perf_counter()
-    nrm_s, _ = estimate_normals_grid(jnp.asarray(src), mask, k=16,
-                                     radius=radius,
-                                     camera=jnp.array([0., 0., 5.]))
-    nrm_t, _ = estimate_normals_grid(jnp.asarray(tgt), mask, k=16,
-                                     radius=radius,
-                                     camera=jnp.array([0., 0., 5.]))
-    f_s = fpfh_features(jnp.asarray(src), nrm_s, mask, radius=radius, k=16)
-    f_t = fpfh_features(jnp.asarray(tgt), nrm_t, mask, radius=radius, k=16)
-    corr, _ = match_features(f_s, mask, f_t, mask, chunk=512)
-    T, fitness = ransac_registration(jnp.asarray(src), mask,
-                                     jnp.asarray(tgt), mask, corr,
-                                     dist_thresh=0.03,
-                                     n_hypotheses=8192)
-    T = np.asarray(T)
-    dt = time.perf_counter() - t0
-    print(f"[registration {n} pts] {dt:.1f} s wall "
-          f"(fitness {float(fitness):.3f})")
+    res, fit_g, voxel = register_clouds(jnp.asarray(src), mask,
+                                        jnp.asarray(tgt), mask,
+                                        icp_iters=30, seed=0)
+    T = np.asarray(res.T)
     T_true = np.asarray(make_T(jnp.asarray(R), jnp.asarray(t)))
-    assert float(fitness) > 0.4, float(fitness)
+    assert fit_g > 0.15, f"RANSAC fitness {fit_g}"  # init quality;
+    # the correctness gate is the ICP result below (measured: fit_g 0.21
+    # initializes within 14 mm and ICP converges to t-err ~1e-7)
+    assert float(res.fitness) > 0.5, float(res.fitness)
     ang = float(rotation_angle_deg(jnp.asarray(T[:3, :3], jnp.float32),
                                    jnp.asarray(T_true[:3, :3], jnp.float32)))
-    assert ang < 5.0, ang
-    np.testing.assert_allclose(T[:3, 3], T_true[:3, 3], atol=0.02)
+    assert ang < 2.0, ang
+    np.testing.assert_allclose(T[:3, 3], T_true[:3, 3], atol=0.01)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("REPAS_GOLDEN"),
+                    reason="set REPAS_GOLDEN=1 (reference-scale registration)")
+def test_global_registration_reference_scale(rng):
+    """VERDICT r2 next #8 / r4 next #3: the reference samples 1M points
+    with 200k RANSAC iterations (icp_cad_model.py:38-96). Run the full
+    recipe — voxel downsample, FPFH+RANSAC, then point-to-plane ICP on
+    the FULL dense clouds — at 1M points on the TPU backend (120k on the
+    CPU suite so the golden stays tractable on this 1-core host) and
+    recover a known pose. The r3/r4 version of this test ran FPFH on the
+    RAW dense cloud at radius 0.02, which is degenerate by construction
+    (locally-planar mm-scale neighborhoods, fitness 0.003) and is NOT
+    what the reference computes."""
+    import os
+    import time
+
+    from repas_tpu.cloud.registration import register_clouds
+
+    on_tpu = bool(os.environ.get("REPAS_TEST_TPU"))
+    n = 1_000_000 if on_tpu else 120_000
+    src, tgt, R, t = _surface_pair(rng, n)
+    mask = jnp.ones(n, bool)
+    t0 = time.perf_counter()
+    res, fit_g, voxel = register_clouds(jnp.asarray(src), mask,
+                                        jnp.asarray(tgt), mask,
+                                        icp_iters=100 if on_tpu else 30,
+                                        seed=0)
+    T = np.asarray(res.T)
+    dt = time.perf_counter() - t0
+    print(f"[registration {n} pts] {dt:.1f} s wall (ransac {fit_g:.3f}, "
+          f"icp fitness {float(res.fitness):.3f}, voxel {voxel:.4f})")
+    T_true = np.asarray(make_T(jnp.asarray(R), jnp.asarray(t)))
+    assert fit_g > 0.15, f"RANSAC fitness {fit_g}"  # init quality;
+    # the correctness gate is the ICP result below (measured: fit_g 0.21
+    # initializes within 14 mm and ICP converges to t-err ~1e-7)
+    assert float(res.fitness) > 0.5, float(res.fitness)
+    ang = float(rotation_angle_deg(jnp.asarray(T[:3, :3], jnp.float32),
+                                   jnp.asarray(T_true[:3, :3], jnp.float32)))
+    assert ang < 2.0, ang
+    np.testing.assert_allclose(T[:3, 3], T_true[:3, 3], atol=0.01)
