@@ -47,7 +47,7 @@ from repas_tpu.kernels.image import (adaptive_threshold, bilinear_sample,
 # (the refine+decode stage was the detector's hottest at 1.24 ms/frame
 # on v5e, dominated by (samples, PATCH) weight construction); the lost
 # single-level coverage is recovered by one extra pyramid level.
-_PATCH = 128
+_PATCH = 192
 
 _NDIRS = 16
 
@@ -133,14 +133,35 @@ def _support_points(labels: jnp.ndarray, roots: jnp.ndarray,
 
     patches = jax.vmap(lambda lv_, st: jax.lax.dynamic_slice(
         pyr, (row_off[lv_] + st[1], st[0]), (ph, pw)))(lvl, starts)
-    m = patches.reshape(C, -1) == roots[:, None]          # (C, P*P)
-    pxf = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 1).reshape(-1)
-    pyf = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 0).reshape(-1)
-    st_f = starts.astype(jnp.float32)
-    xs = (st_f[:, 0:1] + pxf[None, :]) * scale[:, None]   # (C, P*P)
-    ys = (st_f[:, 1:2] + pyf[None, :]) * scale[:, None]
-    thetas = np.pi * 2.0 * np.arange(_NDIRS) / _NDIRS
+
+    # Boundary-candidate reduction (the stage was the detector's hottest,
+    # VERDICT r4 next #1): for a direction (c,s), each row's maximizer of
+    # c*x + s*y is that row's min-x (c<0) or max-x (c>=0) member pixel —
+    # so the row-extreme set {(minx[y],y), (maxx[y],y)} provably contains
+    # a global maximizer for EVERY direction, and the per-direction
+    # masked maxes run over 2*ph candidates instead of ph*pw pixels
+    # (64x less VPU traffic; two full-patch reductions happen once).
+    # Tie handling is unchanged: any winner's row-extreme (matching the
+    # direction's x-sign) is itself a winner with >= x and equal y, so
+    # the max-x / max-y-over-winners outputs are identical — the swap is
+    # bit-exact vs the full-pixel formulation (pinned by
+    # test_detector.py::test_support_points_boundary_equivalence).
+    member = patches == roots[:, None, None]              # (C,ph,pw)
+    colf = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 1)
     neg = jnp.float32(-1e9)
+    maxx = jnp.max(jnp.where(member, colf, neg), axis=2)  # (C,ph)
+    minx = jnp.min(jnp.where(member, colf, -neg), axis=2)
+    has = maxx > neg                                      # row has a member
+    rowf = jax.lax.broadcasted_iota(jnp.float32, (1, ph), 1)
+    cand_col = jnp.concatenate([minx, maxx], axis=1)      # (C,2ph)
+    cand_row = jnp.concatenate([rowf, rowf], axis=1)      # (1,2ph)
+    cand_ok = jnp.concatenate([has, has], axis=1)
+    st_f = starts.astype(jnp.float32)
+    xs = (st_f[:, 0:1] + cand_col) * scale[:, None]       # (C, 2ph)
+    ys = (st_f[:, 1:2] + cand_row) * scale[:, None]
+    xs = jnp.where(cand_ok, xs, 0.0)
+    ys = jnp.where(cand_ok, ys, 0.0)
+    thetas = np.pi * 2.0 * np.arange(_NDIRS) / _NDIRS
 
     # the root pixel (label = min row-major pixel index) is always a
     # member; folding it in keeps every direction's support finite even
@@ -151,8 +172,8 @@ def _support_points(labels: jnp.ndarray, roots: jnp.ndarray,
     outs = []
     for t in thetas:
         c, s = np.float32(np.cos(t)), np.float32(np.sin(t))
-        proj = xs * c + ys * s                            # (C, P*P)
-        pm = jnp.where(m, proj, neg)
+        proj = xs * c + ys * s                            # (C, 2ph)
+        pm = jnp.where(cand_ok, proj, neg)
         proj_root = x_root * c + y_root * s               # (C,)
         mx = jnp.maximum(jnp.max(pm, axis=1), proj_root)  # (C,)
         win = pm >= (mx[:, None] - 1e-3)

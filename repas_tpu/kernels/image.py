@@ -15,10 +15,34 @@ import jax.numpy as jnp
 
 
 def rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
-    """BT.601 luma -> float32 [0,255] (cv2.cvtColor RGB2GRAY weights)."""
-    img = img.astype(jnp.float32)
+    """BT.601 luma -> float32 [0,255] (cv2.cvtColor RGB2GRAY weights).
+
+    uint8 inputs take a bitcast path: (H,W,3) channel-minor slicing makes
+    XLA issue stride-3 sub-lane loads (the gray stage measured 0.32
+    ms/frame at 720p — ~23x off memory bandwidth). Bitcasting each
+    4-pixel group's 12 bytes to 3 uint32 lanes and extracting channels
+    with vector shifts/masks keeps every op full-lane elementwise. The
+    result is bit-identical: byte extraction is exact and the f32
+    weighted sum sees the same integer values."""
     if img.ndim == 2:
-        return img
+        return img.astype(jnp.float32)
+    h, w = img.shape[:2]
+    if img.dtype == jnp.uint8 and w % 4 == 0:
+        u = jax.lax.bitcast_convert_type(
+            img.reshape(h, (w // 4) * 3, 4), jnp.uint32)   # (H, 3W/4)
+        b0, b1, b2 = (u.reshape(h, w // 4, 3)[..., i] for i in range(3))
+        # little-endian: pixel k of the group -> bytes 3k..3k+2
+        r = jnp.stack([b0 & 255, (b0 >> 24) & 255,
+                       (b1 >> 16) & 255, (b2 >> 8) & 255], -1)
+        g = jnp.stack([(b0 >> 8) & 255, b1 & 255,
+                       (b1 >> 24) & 255, (b2 >> 16) & 255], -1)
+        b = jnp.stack([(b0 >> 16) & 255, (b1 >> 8) & 255,
+                       b2 & 255, (b2 >> 24) & 255], -1)
+        gray4 = (0.299 * r.astype(jnp.float32)
+                 + 0.587 * g.astype(jnp.float32)
+                 + 0.114 * b.astype(jnp.float32))          # (H, W/4, 4)
+        return gray4.reshape(h, w)
+    img = img.astype(jnp.float32)
     return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
 
 

@@ -217,3 +217,58 @@ def test_merge_keeps_duplicate_id_distinct_tags():
     assert len(got) == 2
     assert got[0] == (5, 40.0, 400.0)   # tag at x=400: margin 40 beats 20
     assert got[1] == (5, 60.0, 100.6)   # tag at x=100: margin 60 beats 50
+
+
+def test_support_points_boundary_equivalence(rng):
+    """_support_points' row-extreme boundary-candidate reduction must be
+    BIT-IDENTICAL to the full-pixel formulation it replaced (r5 perf):
+    for any direction (c,s), a row's maximizer of c*x + s*y is that
+    row's min-x or max-x member, so reducing over row extremes keeps the
+    same maxima; and every tie-winner's row-extreme is itself a winner
+    with >= x and equal y, so the max-x/max-y tie outputs match too."""
+    from repas_tpu.detect.detector import _NDIRS, _support_points
+    from repas_tpu.kernels.ccl import connected_components, top_k_components
+
+    # irregular multi-blob binary scene -> real labels/roots/bboxes
+    img = np.zeros((240, 320), bool)
+    for cx, cy, r in [(60, 50, 22), (200, 80, 35), (120, 180, 28),
+                      (280, 200, 16)]:
+        yy, xx = np.mgrid[:240, :320]
+        ang = np.arctan2(yy - cy, xx - cx)
+        rad = r * (1.0 + 0.3 * np.sin(5 * ang))      # star-ish boundary
+        img |= ((xx - cx) ** 2 + (yy - cy) ** 2) < rad ** 2
+    img &= rng.uniform(size=img.shape) > 0.02        # pepper holes
+    labels = connected_components(jnp.asarray(img), iters=8)
+    roots, areas, valid_c, bbox = top_k_components(
+        labels, 8, min_area=16.0, max_area=1e9, ring_filter=True,
+        min_side=4.0, return_bbox=True)
+
+    got = np.asarray(_support_points(labels, roots, bbox))
+
+    # full-pixel reference (the pre-r5 formulation, verbatim semantics)
+    h, w = 240, 320
+    lab = np.asarray(labels)
+    rts = np.asarray(roots)
+    ref = np.zeros_like(got)
+    for ci in range(len(rts)):
+        m = lab == rts[ci]
+        ys_, xs_ = np.nonzero(m)
+        x_root = np.float32(rts[ci] % w)
+        y_root = np.float32(rts[ci] // w)
+        xs_ = np.concatenate([xs_.astype(np.float32), [x_root]])
+        ys_ = np.concatenate([ys_.astype(np.float32), [y_root]])
+        for di in range(_NDIRS):
+            t = np.pi * 2.0 * di / _NDIRS
+            c, s = np.float32(np.cos(t)), np.float32(np.sin(t))
+            proj = xs_ * c + ys_ * s
+            mx = proj.max()
+            win = proj >= mx - 1e-3
+            ref[ci, di] = [xs_[win].max(), ys_[win].max()]
+    v = np.asarray(valid_c)
+    # compare only components whose bbox fits a full-res patch (the
+    # pyramid fallback subsamples members by construction)
+    small = ((np.asarray(bbox)[:, 2] - np.asarray(bbox)[:, 0] < 100)
+             & (np.asarray(bbox)[:, 3] - np.asarray(bbox)[:, 1] < 100))
+    sel = v & small
+    assert sel.sum() >= 3
+    np.testing.assert_array_equal(got[sel], ref[sel])

@@ -82,6 +82,69 @@ def _stage_prefix(img, config: DetectorConfig, upto: str):
         quads = quads * dec + (dec - 1) / 2.0
     if upto == "quad":
         return jnp.sum(quads)
+
+    # ---- refine/decode sub-stages (mirrors detect_tags' patch tier) ----
+    from repas_tpu.detect.detector import _PATCH
+
+    ph, pw = min(_PATCH, h), min(_PATCH, w)
+    margin = 12.0
+    cover = min(ph, pw) - 2 * margin
+    n_levels = 1
+    while cover * 2 ** (n_levels - 1) < max(h, w) and n_levels < 4 \
+            and (min(h, w) >> n_levels) >= 8:
+        n_levels += 1
+    lvl_imgs = [gray]
+    for lv in range(1, n_levels):
+        lvl_imgs.append(decimate(lvl_imgs[-1], 2))
+    row_off, rows_l = [], []
+    for a in lvl_imgs:
+        hl_, wl_ = a.shape
+        row_off.append(sum(r.shape[0] for r in rows_l))
+        rows_l.append(jnp.pad(a, ((0, max(ph - hl_, 0)), (0, w - wl_)),
+                              mode="edge"))
+    pyr = jnp.concatenate(rows_l, axis=0)
+    row_off = jnp.asarray(row_off, jnp.int32)
+    if upto == "pyramid":
+        return jnp.sum(pyr)
+
+    qlo = jnp.min(quads, axis=1)
+    qhi = jnp.max(quads, axis=1)
+    starts_l, fits_l = [], []
+    for lv in range(n_levels):
+        s = 2 ** lv
+        lo_l = (qlo - (s - 1) / 2.0) / s
+        hi_l = (qhi - (s - 1) / 2.0) / s
+        hl_, wl_ = lvl_imgs[lv].shape
+        starts_l.append(jnp.stack([
+            jnp.clip(jnp.floor(lo_l[:, 0] - margin).astype(jnp.int32),
+                     0, max(wl_ - pw, 0)),
+            jnp.clip(jnp.floor(lo_l[:, 1] - margin).astype(jnp.int32),
+                     0, max(hl_ - ph, 0))], axis=1))
+        fits_l.append(((hi_l[:, 0] - lo_l[:, 0]) <= pw - 2 * margin)
+                      & ((hi_l[:, 1] - lo_l[:, 1]) <= ph - 2 * margin))
+    fits_all = jnp.stack(fits_l, axis=1)
+    fits = jnp.any(fits_all, axis=1)
+    lvl = jnp.where(fits, jnp.argmax(fits_all, axis=1),
+                    n_levels - 1).astype(jnp.int32)
+    starts = jnp.take_along_axis(
+        jnp.stack(starts_l, axis=1), lvl[:, None, None], axis=1)[:, 0]
+    scale = jnp.exp2(lvl.astype(jnp.float32))[:, None, None]
+    patches = jax.vmap(lambda lv_, st: jax.lax.dynamic_slice(
+        pyr, (row_off[lv_] + st[1], st[0]), (ph, pw)))(lvl, starts)
+    if upto == "patches":
+        return jnp.sum(patches)
+    off = starts.astype(jnp.float32)[:, None, :]
+    q_rel = (quads - (scale - 1) / 2.0) / scale - off
+    q_ref = jax.vmap(lambda p, q: _refine_edges(
+        p, q, search=2.0 + dec, offset_step=1.0,
+        sampler=bilinear_sample_patch))(patches, q_rel)
+    if upto == "refine1":
+        return jnp.sum(q_ref)
+    q_ref = jax.vmap(lambda p, q: _refine_edges(
+        p, q, search=1.0, offset_step=0.25,
+        sampler=bilinear_sample_patch))(patches, q_ref)
+    if upto == "refine2":
+        return jnp.sum(q_ref)
     raise ValueError(upto)
 
 
@@ -101,7 +164,8 @@ def main():
         print(f"{name:28s} {dt:8.3f} ms/frame   (sum={s:.1f})", flush=True)
         return dt
 
-    stages = ["gray", "thresh", "ccl", "topk", "support", "quad"]
+    stages = ["gray", "thresh", "ccl", "topk", "support", "quad",
+              "pyramid", "patches", "refine1", "refine2"]
     prev = 0.0
     for st in stages:
         f = jax.jit(jax.vmap(
