@@ -183,7 +183,7 @@ def _time_robust_ladder():
         def pose_one(c, m, i_, v_):
             i = jnp.argmax(jnp.where(v_, m, -1.0))
             R, t, err, order = solve_pnp_best_order(
-                c[i], K, jnp.zeros(8), tag_size)
+                c[i], K, None, tag_size)
             return t, err, i_[i], v_[i]
         return jax.vmap(pose_one)(corners, margins, ids_in, valid_in)
 

@@ -512,10 +512,16 @@ def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig(),
         row_off.append(sum(r.shape[0] for r in rows))
         # height-pad to at least a patch (deep levels of wide images are
         # shorter than ph); edge mode so bottom-margin samples of quads
-        # near the image bottom read replicated pixels, not zeros
-        rows.append(jnp.pad(a, ((0, max(ph - hl_, 0)), (0, w - wl_)),
+        # near the image bottom read replicated pixels, not zeros.
+        # bf16 storage: the matmul sampler casts patches to bf16 anyway
+        # (bilinear_sample_patch), so rounding at pyramid build produces
+        # bit-identical samples while halving the patch-extraction DMA
+        # traffic — the extraction was the detector's hottest single op
+        # (0.39 ms/frame at 720p; tools/micro_perf.py).
+        rows.append(jnp.pad(a.astype(jnp.bfloat16),
+                            ((0, max(ph - hl_, 0)), (0, w - wl_)),
                             mode="edge"))
-    pyr = jnp.concatenate(rows, axis=0)                # (~2H, W)
+    pyr = jnp.concatenate(rows, axis=0)                # (~2H, W) bf16
     row_off = jnp.asarray(row_off, jnp.int32)
 
     qlo = jnp.min(quads, axis=1)                       # (C,2) x,y

@@ -14,34 +14,43 @@ import jax
 import jax.numpy as jnp
 
 
+def pack_rgb_u32(img: jnp.ndarray) -> jnp.ndarray:
+    """(H,W,3) uint8 -> (H,W) uint32 with r | g<<8 | b<<16.
+
+    The one-pad-then-bitcast formulation is the only (H,W,3)-u8 access
+    pattern measured near bandwidth on v5e: channel-minor slicing
+    (img[...,c]) makes XLA issue stride-3 sub-lane loads (~0.34
+    ms/frame at 720p, ~23x off bandwidth), and 12-byte->3-lane bitcast
+    repacking pays the same stride-3 cost on the u32 lanes. Padding the
+    channel dim to 4 bytes is a layout-preserving widening XLA lowers to
+    one full-lane pass, and the bitcast is free (0.16 ms/frame total,
+    tools/micro_perf.py)."""
+    x4 = jnp.pad(img, ((0, 0), (0, 0), (0, 1)))
+    return jax.lax.bitcast_convert_type(x4, jnp.uint32)
+
+
+def gray_from_u32(packed: jnp.ndarray) -> jnp.ndarray:
+    """(H,W) uint32 r|g<<8|b<<16 -> BT.601 luma float32 [0,255]."""
+    r = (packed & 255).astype(jnp.float32)
+    g = ((packed >> 8) & 255).astype(jnp.float32)
+    b = ((packed >> 16) & 255).astype(jnp.float32)
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
 def rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
     """BT.601 luma -> float32 [0,255] (cv2.cvtColor RGB2GRAY weights).
 
-    uint8 inputs take a bitcast path: (H,W,3) channel-minor slicing makes
-    XLA issue stride-3 sub-lane loads (the gray stage measured 0.32
-    ms/frame at 720p — ~23x off memory bandwidth). Bitcasting each
-    4-pixel group's 12 bytes to 3 uint32 lanes and extracting channels
-    with vector shifts/masks keeps every op full-lane elementwise. The
-    result is bit-identical: byte extraction is exact and the f32
-    weighted sum sees the same integer values."""
+    uint8 inputs go through pack_rgb_u32 (full-lane pad+bitcast; see
+    there for why every channel-minor alternative is ~2x slower) and
+    extract channels with vector shifts/masks. Bit-identical to the
+    naive path: byte extraction is exact and the f32 weighted sum sees
+    the same integer values in the same order. Pipelines that also feed
+    the pointcloud kernel should pack_rgb_u32 ONCE and use gray_from_u32
+    (repas_tpu.pipeline does)."""
     if img.ndim == 2:
         return img.astype(jnp.float32)
-    h, w = img.shape[:2]
-    if img.dtype == jnp.uint8 and w % 4 == 0:
-        u = jax.lax.bitcast_convert_type(
-            img.reshape(h, (w // 4) * 3, 4), jnp.uint32)   # (H, 3W/4)
-        b0, b1, b2 = (u.reshape(h, w // 4, 3)[..., i] for i in range(3))
-        # little-endian: pixel k of the group -> bytes 3k..3k+2
-        r = jnp.stack([b0 & 255, (b0 >> 24) & 255,
-                       (b1 >> 16) & 255, (b2 >> 8) & 255], -1)
-        g = jnp.stack([(b0 >> 8) & 255, b1 & 255,
-                       (b1 >> 24) & 255, (b2 >> 16) & 255], -1)
-        b = jnp.stack([(b0 >> 16) & 255, (b1 >> 8) & 255,
-                       b2 & 255, (b2 >> 24) & 255], -1)
-        gray4 = (0.299 * r.astype(jnp.float32)
-                 + 0.587 * g.astype(jnp.float32)
-                 + 0.114 * b.astype(jnp.float32))          # (H, W/4, 4)
-        return gray4.reshape(h, w)
+    if img.dtype == jnp.uint8:
+        return gray_from_u32(pack_rgb_u32(img))
     img = img.astype(jnp.float32)
     return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
 
@@ -215,13 +224,20 @@ def extract_patches(img: jnp.ndarray, starts_xy: jnp.ndarray,
 
 
 def decimate(img: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
-    """Average-pool decimation (quad_decimate equivalent)."""
+    """Average-pool decimation (quad_decimate equivalent).
+
+    reduce_window, not reshape(h2,f,w2,f).mean((1,3)): the reshape form
+    leaves a minor dim of size `factor` whose reduction runs at f/128
+    lane utilization (gray+decimate measured 0.22 vs 0.11 ms/frame at
+    720p on v5e, tools/micro_perf.py)."""
     if factor <= 1:
         return img
     h, w = img.shape
     h2, w2 = h // factor, w // factor
     x = img[: h2 * factor, : w2 * factor].astype(jnp.float32)
-    return x.reshape(h2, factor, w2, factor).mean(axis=(1, 3))
+    s = jax.lax.reduce_window(x, 0.0, jax.lax.add, (factor, factor),
+                              (factor, factor), "VALID")
+    return s * jnp.float32(1.0 / (factor * factor))
 
 
 def get_rotation_matrix_2d(center, angle_deg, scale: float = 1.0) -> jnp.ndarray:

@@ -64,18 +64,39 @@ def rgbd_to_pointcloud(rgb: jnp.ndarray, depth_m: jnp.ndarray, K,
 @functools.partial(jax.jit, static_argnames=("scale",))
 def fused_pointcloud(depth_u16: jnp.ndarray, rgb: jnp.ndarray, K,
                      scale: float = 0.001):
-    """Fused u16 depth + RGB -> (H*W, 6) xyzrgb, Pallas on TPU.
+    """Fused u16 depth + RGB -> PLANAR (6, H*W) [x,y,z,r,g,b] rows.
 
-    Falls back to the XLA path on non-TPU backends or odd shapes.
-    """
+    Pallas on TPU; falls back to the XLA path on non-TPU backends or odd
+    shapes. Planar (structure-of-arrays) is the TPU-native layout: each
+    channel is a full-lane (H*W,) row, so the producing kernel and every
+    downstream elementwise/reduce op run at memory bandwidth. The
+    xyzrgb-rows (H*W, 6) layout tiles its minor dim at 6/128 lane
+    utilization — materializing it cost more than the whole deprojection
+    (0.37 vs 0.24 ms/frame measured, tools/micro_perf.py). Use
+    `xyzrgb_rows` only at export boundaries (PLY writers, Open3D
+    interop).
+
+    `rgb` may be (H,W,3) uint8 or an already-packed (H,W) uint32
+    (r|g<<8|b<<16, kernels.image.pack_rgb_u32) — pipelines that also
+    grayscale the frame pack once and share."""
     h, w = depth_u16.shape
     if jax.default_backend() == "tpu" and w % 128 == 0 and h % 16 == 0:
         out = _fused_pointcloud_pallas(depth_u16, rgb,
                                        jnp.asarray(K, jnp.float32),
                                        jnp.float32(scale))
-        return out.reshape(-1, 6)
+        return out.reshape(6, -1)
+    if rgb.ndim == 2:    # packed u32 -> (H,W,3) u8 for the XLA fallback
+        rgb = jnp.stack([(rgb & 255), (rgb >> 8) & 255,
+                         (rgb >> 16) & 255], axis=-1).astype(jnp.uint8)
     pts, cols, valid = rgbd_to_pointcloud(rgb, depth_to_meters(depth_u16, scale), K)
-    return jnp.concatenate([pts, cols], axis=-1)
+    return jnp.concatenate([pts.T, cols.T], axis=0)
+
+
+def xyzrgb_rows(pc_planar: jnp.ndarray) -> jnp.ndarray:
+    """(6, N) planar cloud -> (N, 6) xyzrgb rows (export/Open3D interop
+    boundary only — the transpose materializes the 6-minor layout that
+    the hot path deliberately avoids)."""
+    return pc_planar.T
 
 
 def _fused_pointcloud_pallas(depth_u16, rgb, K, scale):
@@ -86,19 +107,15 @@ def _fused_pointcloud_pallas(depth_u16, rgb, K, scale):
     tile_h = 16  # u16 min tile is (16, 128)
 
     # pack RGB into one int32 word per pixel so the kernel reads 32-bit
-    # lanes. Bitcast 4-pixel groups (12 bytes -> 3 u32 lanes) and repack
-    # with vector shifts: channel-minor (H,W,3) u8 slicing makes XLA
-    # issue stride-3 sub-lane loads (this packing, not the Pallas
-    # kernel, dominated the pointcloud stage's 0.25 ms/frame).
-    if rgb.dtype == jnp.uint8 and w % 4 == 0:
-        u32 = jax.lax.bitcast_convert_type(
-            rgb.reshape(h, (w // 4) * 3, 4), jnp.uint32).reshape(h, w // 4, 3)
-        b0, b1, b2 = u32[..., 0], u32[..., 1], u32[..., 2]
-        rgb32 = jnp.stack([
-            b0 & 0xFFFFFF,
-            (b0 >> 24) | ((b1 & 0xFFFF) << 8),
-            (b1 >> 16) | ((b2 & 0xFF) << 16),
-            b2 >> 8], -1).reshape(h, w).astype(jnp.int32)
+    # lanes. pack_rgb_u32's pad+bitcast is the only near-bandwidth
+    # (H,W,3)-u8 access pattern on v5e (see kernels/image.py); the
+    # previous 12-byte->3-lane repack paid stride-3 sub-lane loads and
+    # dominated the pointcloud stage's cost.
+    if rgb.ndim == 2:                  # pre-packed u32
+        rgb32 = rgb.astype(jnp.int32) & 0xFFFFFF
+    elif rgb.dtype == jnp.uint8:
+        from repas_tpu.kernels.image import pack_rgb_u32
+        rgb32 = pack_rgb_u32(rgb).astype(jnp.int32) & 0xFFFFFF
     else:
         rgb32 = (rgb[..., 0].astype(jnp.int32)
                  | (rgb[..., 1].astype(jnp.int32) << 8)
@@ -138,8 +155,7 @@ def _fused_pointcloud_pallas(depth_u16, rgb, K, scale):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((6, h, w), jnp.float32),
     )(kvec, depth_u16, rgb32)
-    # (6,H,W) -> (H,W,6)
-    return jnp.transpose(out, (1, 2, 0))
+    return out
 
 
 def masked_median_depth_window(depth_m: jnp.ndarray, mask: jnp.ndarray,

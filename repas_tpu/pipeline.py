@@ -27,7 +27,9 @@ from repas_tpu.pose.fusion import FusedPose, fuse_tag_poses
 class FrameResult(NamedTuple):
     detections: Detections
     pose: FusedPose
-    pointcloud: jnp.ndarray      # (H*W, 6) xyzrgb
+    pointcloud: jnp.ndarray      # (6, H*W) planar [x,y,z,r,g,b] rows
+                                 # (kernels.pointcloud.xyzrgb_rows for
+                                 #  (N,6) export layout)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "with_pointcloud"))
@@ -41,13 +43,23 @@ def process_frame(rgb: jnp.ndarray, depth_u16: jnp.ndarray, K,
     coeffs usage :241-255); None means an undistorted camera (factory
     RealSense/Femto color streams ship ~zero coeffs)."""
     K = jnp.asarray(K, jnp.float32)
-    if dist is None:
-        dist = jnp.zeros(8, jnp.float32)
-    else:
+    if dist is not None:
+        # dist=None stays None: the PnP solvers statically skip the
+        # (identity) distortion polynomial on their LM dependency chain
         dist = jnp.asarray(dist, jnp.float32).reshape(-1)[:8]
         dist = jnp.concatenate(
             [dist, jnp.zeros(8 - dist.shape[0], jnp.float32)])
-    det = detect_tags(rgb, config.detector)
+    # pack RGB to one u32/pixel ONCE; grayscale and the pointcloud kernel
+    # both consume the packed form (channel-minor u8 access is the single
+    # most expensive pattern on TPU — kernels/image.py pack_rgb_u32)
+    if rgb.ndim == 3 and rgb.dtype == jnp.uint8:
+        from repas_tpu.kernels.image import gray_from_u32, pack_rgb_u32
+        packed = pack_rgb_u32(rgb)
+        det = detect_tags(gray_from_u32(packed), config.detector)
+        pc_rgb = packed
+    else:
+        det = detect_tags(rgb, config.detector)
+        pc_rgb = rgb
     depth_m = depth_to_meters(depth_u16, config.depth.depth_scale)
     pose = fuse_tag_poses(
         det.corners, det.ids, det.areas, det.valid, depth_m, K,
@@ -56,10 +68,10 @@ def process_frame(rgb: jnp.ndarray, depth_u16: jnp.ndarray, K,
         flip_z_ids=jnp.asarray(config.cad.flip_z_tag_ids, jnp.int32),
         win=config.depth.center_win)
     if with_pointcloud:
-        pc = fused_pointcloud(depth_u16, rgb, K,
+        pc = fused_pointcloud(depth_u16, pc_rgb, K,
                               scale=config.depth.depth_scale)
     else:
-        pc = jnp.zeros((0, 6), jnp.float32)
+        pc = jnp.zeros((6, 0), jnp.float32)
     return FrameResult(detections=det, pose=pose, pointcloud=pc)
 
 

@@ -172,7 +172,16 @@ def solve_pnp_ippe_square(img_corners: jnp.ndarray, K, dist, tag_size_m,
     """
     K = jnp.asarray(K, img_corners.dtype)
     obj = square_object_points(tag_size_m, img_corners.dtype)
-    norm_xy = undistort_points(img_corners, K, jnp.asarray(dist, K.dtype))
+    if dist is None:
+        # static no-distortion fast path: the fixed-point undistort is the
+        # identity at zero coefficients but still costs 10 sequential
+        # polynomial evaluations per solve — a pure dependency chain on
+        # tiny tensors, the worst shape for the VPU. Bit-exact skip.
+        norm_xy = jnp.stack(
+            [(img_corners[..., 0] - K[0, 2]) / K[0, 0],
+             (img_corners[..., 1] - K[1, 2]) / K[1, 1]], axis=-1)
+    else:
+        norm_xy = undistort_points(img_corners, K, jnp.asarray(dist, K.dtype))
     unit_obj = obj[:, :2] / (jnp.asarray(tag_size_m, K.dtype) / 2.0)
     Hn = _homography_4pt(unit_obj, norm_xy)
     Rs, ts = _ippe_from_homography(Hn)
@@ -240,17 +249,21 @@ def refine_pnp_gn(obj_pts, img_pts, rvec0, tvec0, K, dist=None,
 
     `weights` (N,) scales per-point residuals (0 masks a point out).
     Returns (rvec, tvec, mean_reproj_err_px over weighted points).
+
+    dist=None statically skips the Brown-Conrady polynomial inside every
+    projection of the LM loop (bit-exact: the polynomial is the identity
+    at zero coefficients) — it sits on the loop's sequential dependency
+    chain, which is what bounds PnP cost on TPU.
     """
     K = jnp.asarray(K, img_pts.dtype)
-    dist = (jnp.zeros(8, K.dtype) if dist is None
-            else jnp.asarray(dist, K.dtype))
+    if dist is not None:
+        dist = jnp.asarray(dist, K.dtype)
     w = (jnp.ones(obj_pts.shape[0], K.dtype) if weights is None
          else jnp.asarray(weights, K.dtype))
     p0 = jnp.concatenate([jnp.asarray(rvec0, K.dtype).reshape(3),
                           jnp.asarray(tvec0, K.dtype).reshape(3)])
 
     res_fn = lambda p: _residuals(p, obj_pts, img_pts, K, dist, w)
-    jac_fn = jax.jacfwd(res_fn)
 
     # adaptive Levenberg-Marquardt: a fixed tiny damping with
     # accept-only-if-better stalls permanently after the first GN
@@ -258,23 +271,39 @@ def refine_pnp_gn(obj_pts, img_pts, rvec0, tvec0, K, dist=None,
     # shrinking lambda on success and growing it on rejection converges
     # to the local optimum like cv2's LM does (the r4 adversarial sweep
     # sat ~1% above cv2's reprojection objective under 2 px noise).
+    #
+    # Structure: the loop state carries (residual, cost) of the CURRENT
+    # point, and the Jacobian comes from jax.linearize (primal shared
+    # with the residual), so each iteration evaluates the projection
+    # chain twice (linearize + trial point), not three times — on TPU
+    # this solver is bound by the sequential depth of exactly this
+    # chain, not by FLOPs (all operands are 4-point tensors).
+    eye6 = jnp.eye(6, dtype=p0.dtype)
+    basis = jnp.eye(6, dtype=p0.dtype)
+
     def body(_, state):
-        p, lam = state
-        r = res_fn(p)
-        Jm = jac_fn(p)
+        p, lam, r, cost = state
+        r_lin, lin = jax.linearize(res_fn, p)
+        Jm = jax.vmap(lin)(basis).T             # (8,6)
         JTJ = Jm.T @ Jm
         JTr = Jm.T @ r
         mu = lam * jnp.trace(JTJ) / 6.0
-        step = jnp.linalg.solve(JTJ + mu * jnp.eye(6, dtype=p.dtype), JTr)
+        step = jnp.linalg.solve(JTJ + mu * eye6, JTr)
         p_new = p - step
-        better = jnp.sum(res_fn(p_new) ** 2) < jnp.sum(r ** 2)
+        r_new = res_fn(p_new)
+        cost_new = jnp.sum(r_new ** 2)
+        better = cost_new < cost
         p = jnp.where(better, p_new, p)
+        r = jnp.where(better, r_new, r)
+        cost = jnp.where(better, cost_new, cost)
         lam = jnp.where(better, jnp.maximum(lam / 3.0, 1e-9),
                         jnp.minimum(jnp.maximum(lam * 8.0, 1e-4), 1e6))
-        return p, lam
+        return p, lam, r, cost
 
-    p, _ = jax.lax.fori_loop(0, iters, body,
-                             (p0, jnp.asarray(damping, p0.dtype)))
+    r0 = res_fn(p0)
+    p, _, _, _ = jax.lax.fori_loop(
+        0, iters, body,
+        (p0, jnp.asarray(damping, p0.dtype), r0, jnp.sum(r0 ** 2)))
     proj = project_points(obj_pts, p[:3], p[3:], K, dist)
     per_pt = jnp.linalg.norm(proj - img_pts, axis=-1)
     err = jnp.sum(per_pt * (w > 0)) / jnp.maximum(jnp.sum(w > 0), 1)

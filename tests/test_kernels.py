@@ -81,8 +81,8 @@ def test_fused_pointcloud_xla_fallback():
     depth = (np.ones((16, 128)) * 1000).astype(np.uint16)
     rgb = np.zeros((16, 128, 3), dtype=np.uint8)
     out = fused_pointcloud(jnp.asarray(depth), jnp.asarray(rgb), K)
-    assert out.shape == (16 * 128, 6)
-    np.testing.assert_allclose(np.asarray(out)[:, 2], 1.0, atol=1e-6)
+    assert out.shape == (6, 16 * 128)
+    np.testing.assert_allclose(np.asarray(out)[2, :], 1.0, atol=1e-6)
 
 
 def test_median_depth_window():

@@ -100,12 +100,13 @@ def _stage_prefix(img, config: DetectorConfig, upto: str):
     for a in lvl_imgs:
         hl_, wl_ = a.shape
         row_off.append(sum(r.shape[0] for r in rows_l))
-        rows_l.append(jnp.pad(a, ((0, max(ph - hl_, 0)), (0, w - wl_)),
+        rows_l.append(jnp.pad(a.astype(jnp.bfloat16),
+                              ((0, max(ph - hl_, 0)), (0, w - wl_)),
                               mode="edge"))
     pyr = jnp.concatenate(rows_l, axis=0)
     row_off = jnp.asarray(row_off, jnp.int32)
     if upto == "pyramid":
-        return jnp.sum(pyr)
+        return jnp.sum(pyr.astype(jnp.float32))
 
     qlo = jnp.min(quads, axis=1)
     qhi = jnp.max(quads, axis=1)
@@ -132,7 +133,7 @@ def _stage_prefix(img, config: DetectorConfig, upto: str):
     patches = jax.vmap(lambda lv_, st: jax.lax.dynamic_slice(
         pyr, (row_off[lv_] + st[1], st[0]), (ph, pw)))(lvl, starts)
     if upto == "patches":
-        return jnp.sum(patches)
+        return jnp.sum(patches.astype(jnp.float32))
     off = starts.astype(jnp.float32)[:, None, :]
     q_rel = (quads - (scale - 1) / 2.0) / scale - off
     q_ref = jax.vmap(lambda p, q: _refine_edges(
