@@ -251,13 +251,23 @@ def _refine_edges(gray: jnp.ndarray, quad: jnp.ndarray,
         vals = sampler(gray, samp)                            # (S,O)
         grad = jnp.abs(vals[:, 2:] - vals[:, :-2])            # (S,O-2)
         j = jnp.clip(jnp.argmax(grad, axis=1), 1, grad.shape[1] - 2)
-        g0 = jnp.take_along_axis(grad, (j - 1)[:, None], 1)[:, 0]
-        g1 = jnp.take_along_axis(grad, j[:, None], 1)[:, 0]
-        g2 = jnp.take_along_axis(grad, (j + 1)[:, None], 1)[:, 0]
+        # neighborhood reads via one-hot masked sums, NOT take_along_axis:
+        # TPU gathers are serialized scalar loads, and the three
+        # per-sample gathers here were most of the refine stage's cost
+        # (0.15 ms/frame/pass at 720p). sum(grad * (iota==j)) has exactly
+        # one nonzero term, so it is bit-exact grad[j].
+        iot = jax.lax.broadcasted_iota(jnp.int32, grad.shape, 1)
+        jc = j[:, None]
+        g0 = jnp.sum(jnp.where(iot == jc - 1, grad, 0.0), axis=1)
+        g1 = jnp.sum(jnp.where(iot == jc, grad, 0.0), axis=1)
+        g2 = jnp.sum(jnp.where(iot == jc + 1, grad, 0.0), axis=1)
         denom = g0 - 2.0 * g1 + g2
         frac = jnp.where(jnp.abs(denom) > 1e-6,
                          0.5 * (g0 - g2) / denom, 0.0)
-        o_star = offs[1:-1][j] + jnp.clip(frac, -1.0, 1.0) * step
+        # offs[1:-1][j] = offs[j+1], arithmetically (linspace is
+        # start + k*step with the same step — identical values)
+        o_peak = -search + (j + 1).astype(vals.dtype) * step
+        o_star = o_peak + jnp.clip(frac, -1.0, 1.0) * step
         pts = base + o_star[:, None] * n_hat[None, :]
         # peak-strength-weighted line fit: direction = principal axis
         wsum = g1 + 1e-6
@@ -506,20 +516,27 @@ def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig(),
     lvl_imgs = [gray]
     for lv in range(1, n_levels):
         lvl_imgs.append(decimate(lvl_imgs[-1], 2))
+    from repas_tpu.kernels.patch_extract import ROW_TILE
+
     row_off, rows = [], []
     for a in lvl_imgs:
         hl_, wl_ = a.shape
         row_off.append(sum(r.shape[0] for r in rows))
-        # height-pad to at least a patch (deep levels of wide images are
-        # shorter than ph); edge mode so bottom-margin samples of quads
-        # near the image bottom read replicated pixels, not zeros.
+        # height-pad each level block to a ROW_TILE multiple with >= 16
+        # rows of slack past max(content, patch): the aligned-window
+        # extractor (kernels/patch_extract.py) rounds window starts down
+        # to the HBM tile, and tile-multiple block heights guarantee a
+        # window never crosses into a neighboring level's rows. Edge
+        # mode so bottom-margin samples of quads near the image bottom
+        # read replicated pixels, not zeros.
         # bf16 storage: the matmul sampler casts patches to bf16 anyway
         # (bilinear_sample_patch), so rounding at pyramid build produces
         # bit-identical samples while halving the patch-extraction DMA
         # traffic — the extraction was the detector's hottest single op
         # (0.39 ms/frame at 720p; tools/micro_perf.py).
+        hb = -(-(max(hl_, ph) + ROW_TILE) // ROW_TILE) * ROW_TILE
         rows.append(jnp.pad(a.astype(jnp.bfloat16),
-                            ((0, max(ph - hl_, 0)), (0, w - wl_)),
+                            ((0, hb - hl_), (0, w - wl_)),
                             mode="edge"))
     pyr = jnp.concatenate(rows, axis=0)                # (~2H, W) bf16
     row_off = jnp.asarray(row_off, jnp.int32)
@@ -553,9 +570,19 @@ def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig(),
         jnp.stack(starts_l, axis=1), lvl[:, None, None], axis=1)[:, 0]
     scale = jnp.exp2(lvl.astype(jnp.float32))[:, None, None]  # (C,1,1)
 
-    patches = jax.vmap(lambda lv_, st: jax.lax.dynamic_slice(
-        pyr, (row_off[lv_] + st[1], st[0]), (ph, pw)))(lvl, starts)
-    off = starts.astype(jnp.float32)[:, None, :]       # (C,1,2)
+    # patch extraction: pure-DMA Pallas kernel on TPU (the vmapped
+    # dynamic_slice lowers to a serialized row-gather ~20x off DMA
+    # bandwidth and was the detector's hottest single op — see
+    # kernels/patch_extract.py). Windows come back tile-ALIGNED and a
+    # little larger than (ph,pw); the matmul samplers absorb the
+    # residual through the returned origin (numerically equivalent for
+    # every level-fit quad — same source pixels, same hat weights up to
+    # fp rounding of the shifted coordinates).
+    from repas_tpu.kernels.patch_extract import extract_patches_pyramid
+    patches, ay, ax = extract_patches_pyramid(
+        pyr, row_off[lvl] + starts[:, 1], starts[:, 0], ph, pw)
+    off = jnp.stack([ax, ay - row_off[lvl]],
+                    axis=1).astype(jnp.float32)[:, None, :]   # (C,1,2)
     q_rel = (quads - (scale - 1) / 2.0) / scale - off
     # pass 1 scans the +-(2+dec) px window at 1 px steps (the parabola
     # peak fit is accurate to ~0.1 px at this step — pass 2 tightens it);

@@ -236,6 +236,42 @@ def detector_pose(img_corners: jnp.ndarray, K, tag_size_m):
 # Gauss-Newton refinement (the ITERATIVE solver's core)
 # ---------------------------------------------------------------------------
 
+def _chol_solve6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve the SPD 6x6 system A x = b by fully unrolled Cholesky.
+
+    jnp.linalg.solve lowers to LU with partial pivoting — a sequential
+    loop whose pivot selection emits gather/select ops on every step,
+    which dominates the LM iteration cost on TPU for tiny systems. The
+    damped normal matrix here is SPD by construction, so pivot-free
+    Cholesky is numerically sound; unrolled, it is ~70 scalar ops XLA
+    fuses into a handful of elementwise kernels (and batches across
+    vmap lanes). A zero matrix (degenerate corners) yields a huge but
+    finite step that the LM accept test rejects."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for k in range(i + 1):
+            s = A[i, k]
+            for m in range(k):
+                s = s - L[i][m] * L[k][m]
+            if i == k:
+                L[i][k] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][k] = s / L[k][k]
+    y = []
+    for i in range(6):
+        s = b[i]
+        for m in range(i):
+            s = s - L[i][m] * y[m]
+        y.append(s / L[i][i])
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for m in range(i + 1, 6):
+            s = s - L[m][i] * x[m]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _residuals(params, obj, img, K, dist, w):
     rvec, t = params[:3], params[3:]
     proj = project_points(obj, rvec, t, K, dist)
@@ -288,7 +324,7 @@ def refine_pnp_gn(obj_pts, img_pts, rvec0, tvec0, K, dist=None,
         JTJ = Jm.T @ Jm
         JTr = Jm.T @ r
         mu = lam * jnp.trace(JTJ) / 6.0
-        step = jnp.linalg.solve(JTJ + mu * eye6, JTr)
+        step = _chol_solve6(JTJ + mu * eye6, JTr)
         p_new = p - step
         r_new = res_fn(p_new)
         cost_new = jnp.sum(r_new ** 2)

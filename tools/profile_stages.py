@@ -96,12 +96,15 @@ def _stage_prefix(img, config: DetectorConfig, upto: str):
     lvl_imgs = [gray]
     for lv in range(1, n_levels):
         lvl_imgs.append(decimate(lvl_imgs[-1], 2))
+    from repas_tpu.kernels.patch_extract import ROW_TILE
+
     row_off, rows_l = [], []
     for a in lvl_imgs:
         hl_, wl_ = a.shape
         row_off.append(sum(r.shape[0] for r in rows_l))
+        hb = -(-(max(hl_, ph) + ROW_TILE) // ROW_TILE) * ROW_TILE
         rows_l.append(jnp.pad(a.astype(jnp.bfloat16),
-                              ((0, max(ph - hl_, 0)), (0, w - wl_)),
+                              ((0, hb - hl_), (0, w - wl_)),
                               mode="edge"))
     pyr = jnp.concatenate(rows_l, axis=0)
     row_off = jnp.asarray(row_off, jnp.int32)
@@ -130,12 +133,32 @@ def _stage_prefix(img, config: DetectorConfig, upto: str):
     starts = jnp.take_along_axis(
         jnp.stack(starts_l, axis=1), lvl[:, None, None], axis=1)[:, 0]
     scale = jnp.exp2(lvl.astype(jnp.float32))[:, None, None]
-    patches = jax.vmap(lambda lv_, st: jax.lax.dynamic_slice(
-        pyr, (row_off[lv_] + st[1], st[0]), (ph, pw)))(lvl, starts)
+    from repas_tpu.kernels.patch_extract import extract_patches_pyramid
+    patches, ay, ax = extract_patches_pyramid(
+        pyr, row_off[lvl] + starts[:, 1], starts[:, 0], ph, pw)
     if upto == "patches":
         return jnp.sum(patches.astype(jnp.float32))
-    off = starts.astype(jnp.float32)[:, None, :]
+    off = jnp.stack([ax, ay - row_off[lvl]],
+                    axis=1).astype(jnp.float32)[:, None, :]
     q_rel = (quads - (scale - 1) / 2.0) / scale - off
+    if upto == "samp1":
+        # sampler-only cost of refine pass 1: same sample positions, no
+        # gradient/line-fit/intersection chain
+        def samp_only(p, q):
+            rolled = jnp.roll(q, -1, axis=0)
+            ts = jnp.linspace(0.12, 0.88, 12)
+            search = 2.0 + dec
+            offs = jnp.linspace(-search, search,
+                                2 * int(round(search)) + 1)
+            d = rolled - q                                  # (4,2)
+            n_hat = jnp.stack([-(d[:, 1]), d[:, 0]], -1)
+            n_hat = n_hat / (jnp.linalg.norm(n_hat, axis=-1,
+                                             keepdims=True) + 1e-9)
+            base = q[:, None, :] + ts[None, :, None] * d[:, None, :]
+            pts = base[:, :, None, :] + offs[None, None, :, None] \
+                * n_hat[:, None, None, :]
+            return jnp.sum(bilinear_sample_patch(p, pts))
+        return jnp.sum(jax.vmap(samp_only)(patches, q_rel))
     q_ref = jax.vmap(lambda p, q: _refine_edges(
         p, q, search=2.0 + dec, offset_step=1.0,
         sampler=bilinear_sample_patch))(patches, q_rel)
@@ -166,7 +189,7 @@ def main():
         return dt
 
     stages = ["gray", "thresh", "ccl", "topk", "support", "quad",
-              "pyramid", "patches", "refine1", "refine2"]
+              "pyramid", "patches", "samp1", "refine1", "refine2"]
     prev = 0.0
     for st in stages:
         f = jax.jit(jax.vmap(
