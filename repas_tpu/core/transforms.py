@@ -310,3 +310,43 @@ def is_valid_transform(T, tol: float = 1e-6):
     det_ok = jnp.abs(jnp.linalg.det(R) - 1.0) < 1e-3
     ortho = jnp.linalg.norm(R @ R.T - jnp.eye(3, dtype=R.dtype))
     return jnp.logical_and(det_ok, ortho < 1e-3), ortho
+
+
+def homography_from_unit_square(quad: jnp.ndarray) -> jnp.ndarray:
+    """Exact homography mapping the canonical square TL=(-1,-1),
+    TR=(1,-1), BR=(1,1), BL=(-1,1) onto the 4 points `quad` (4,2), in
+    that order; normalized to H33 = 1.
+
+    Closed form (projective bilinear interpolation over the unit square,
+    composed with the [-1,1]^2 -> [0,1]^2 affine), NOT a linear solve:
+    jnp.linalg.solve's 8x8 LU emits pivot-selection gathers on every
+    elimination step — a serialized chain on TPU — while this is ~25
+    fused elementwise ops. Exact to fp rounding (validated against the
+    solve on random quads)."""
+    x0, y0 = quad[0, 0], quad[0, 1]
+    x1, y1 = quad[1, 0], quad[1, 1]
+    x2, y2 = quad[2, 0], quad[2, 1]
+    x3, y3 = quad[3, 0], quad[3, 1]
+    sx = x0 - x1 + x2 - x3
+    sy = y0 - y1 + y2 - y3
+    dx1 = x1 - x2
+    dx2 = x3 - x2
+    dy1 = y1 - y2
+    dy2 = y3 - y2
+    den = dx1 * dy2 - dx2 * dy1
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    g = (sx * dy2 - dx2 * sy) / den
+    h = (dx1 * sy - sx * dy1) / den
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + h * x3
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + h * y3
+    # compose with (x,y) -> ((x+1)/2, (y+1)/2)
+    H = jnp.stack([
+        jnp.stack([0.5 * a, 0.5 * b, 0.5 * (a + b) + x0]),
+        jnp.stack([0.5 * d, 0.5 * e, 0.5 * (d + e) + y0]),
+        jnp.stack([0.5 * g, 0.5 * h, 0.5 * (g + h) + 1.0]),
+    ])
+    w = H[2, 2]
+    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return H / w

@@ -33,6 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from repas_tpu.core.config import DetectorConfig
+from repas_tpu.core.transforms import homography_from_unit_square
+from repas_tpu.kernels.patch_extract import (ROW_TILE,
+                                             extract_patches_pyramid)
 from repas_tpu.detect import tag_families
 from repas_tpu.kernels.ccl import connected_components, top_k_components
 from repas_tpu.kernels.image import (adaptive_threshold, bilinear_sample,
@@ -312,19 +315,15 @@ def _refine_edges(gray: jnp.ndarray, quad: jnp.ndarray,
 
 def _homography_quad(quad: jnp.ndarray) -> jnp.ndarray:
     """Homography mapping tag coords (TL=(-1,-1),TR=(1,-1),BR=(1,1),
-    BL=(-1,1)) to pixel coords of the quad's 4 corners (in that order)."""
-    src = jnp.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]],
-                    jnp.float32)
-    x, y = src[:, 0], src[:, 1]
-    u, v = quad[:, 0], quad[:, 1]
-    zero = jnp.zeros_like(x)
-    one = jnp.ones_like(x)
-    rows_u = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y], axis=1)
-    rows_v = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y], axis=1)
-    A = jnp.concatenate([rows_u, rows_v], axis=0)
-    b = jnp.concatenate([u, v], axis=0)
-    hvec = jnp.linalg.solve(A, b)
-    return jnp.concatenate([hvec, jnp.ones((1,), hvec.dtype)]).reshape(3, 3)
+    BL=(-1,1)) to pixel coords of the quad's 4 corners (in that order).
+
+    Closed form (core.transforms.homography_from_unit_square) — the
+    previous 8x8 jnp.linalg.solve paid LU pivot-selection gathers on
+    every elimination step, a serialized chain repeated per decoded
+    quad. Imported at module top: importing a module INSIDE a traced
+    function turns its module-level array constants into trace-scoped
+    tracers that leak into later traces (UnexpectedTracerError)."""
+    return homography_from_unit_square(quad)
 
 
 def _apply_h(H: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
@@ -386,10 +385,29 @@ def _decode_quad(gray: jnp.ndarray, quad: jnp.ndarray, table: jnp.ndarray,
     # shared linear fit keeps the value calibrated in 0-255 gray units
     # under illumination gradients (a global mean threshold deflates the
     # margin on unevenly lit tags and is what the old formulation used).
+    def _solve_spd3(M, rhs):
+        # closed-form 3x3 solve via the adjugate: M is SPD (normal
+        # matrix + ridge), so det > 0 and no pivoting is needed —
+        # jnp.linalg.solve's LU emits serialized pivot gathers per quad
+        c00 = M[1, 1] * M[2, 2] - M[1, 2] * M[2, 1]
+        c01 = M[0, 2] * M[2, 1] - M[0, 1] * M[2, 2]
+        c02 = M[0, 1] * M[1, 2] - M[0, 2] * M[1, 1]
+        c10 = M[1, 2] * M[2, 0] - M[1, 0] * M[2, 2]
+        c11 = M[0, 0] * M[2, 2] - M[0, 2] * M[2, 0]
+        c12 = M[0, 2] * M[1, 0] - M[0, 0] * M[1, 2]
+        c20 = M[1, 0] * M[2, 1] - M[1, 1] * M[2, 0]
+        c21 = M[0, 1] * M[2, 0] - M[0, 0] * M[2, 1]
+        c22 = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+        det = M[0, 0] * c00 + M[0, 1] * c10 + M[0, 2] * c20
+        adj = jnp.stack([jnp.stack([c00, c01, c02]),
+                         jnp.stack([c10, c11, c12]),
+                         jnp.stack([c20, c21, c22])])
+        return adj @ rhs / det
+
     def _linfit(xy, v):
         A = jnp.stack([xy[:, 0], xy[:, 1], jnp.ones_like(v)], axis=1)
         AtA = A.T @ A + 1e-4 * jnp.eye(3, dtype=v.dtype)
-        return jnp.linalg.solve(AtA, A.T @ v)
+        return _solve_spd3(AtA, A.T @ v)
 
     cw = _linfit(ring, ring_v)
     border_xy = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=1)
@@ -399,7 +417,7 @@ def _decode_quad(gray: jnp.ndarray, quad: jnp.ndarray, table: jnp.ndarray,
                     jnp.ones(cells * cells, jnp.float32)], axis=1)
     Aw = Ab * bm_flat[:, None]
     AtA = Aw.T @ Aw + 1e-4 * jnp.eye(3, dtype=jnp.float32)
-    cb = jnp.linalg.solve(AtA, Aw.T @ (raw.reshape(-1) * bm_flat))
+    cb = _solve_spd3(AtA, Aw.T @ (raw.reshape(-1) * bm_flat))
 
     data_xy = jnp.stack([gx[1:-1, 1:-1].reshape(-1),
                          gy[1:-1, 1:-1].reshape(-1)], axis=1)   # (36,2)
@@ -516,8 +534,6 @@ def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig(),
     lvl_imgs = [gray]
     for lv in range(1, n_levels):
         lvl_imgs.append(decimate(lvl_imgs[-1], 2))
-    from repas_tpu.kernels.patch_extract import ROW_TILE
-
     row_off, rows = [], []
     for a in lvl_imgs:
         hl_, wl_ = a.shape
@@ -578,7 +594,6 @@ def detect_tags(img: jnp.ndarray, config: DetectorConfig = DetectorConfig(),
     # residual through the returned origin (numerically equivalent for
     # every level-fit quad — same source pixels, same hat weights up to
     # fp rounding of the shifted coordinates).
-    from repas_tpu.kernels.patch_extract import extract_patches_pyramid
     patches, ay, ax = extract_patches_pyramid(
         pyr, row_off[lvl] + starts[:, 1], starts[:, 0], ph, pw)
     off = jnp.stack([ax, ay - row_off[lvl]],

@@ -26,8 +26,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from repas_tpu.core.transforms import rodrigues, rodrigues_inv
+from repas_tpu.core.transforms import (homography_from_unit_square,
+                                       rodrigues, rodrigues_inv)
 from repas_tpu.kernels.project import (project_points, undistort_points)
 
 _EPS = 1e-12
@@ -51,7 +53,7 @@ def square_object_points(tag_size_m, dtype=jnp.float32) -> jnp.ndarray:
 
 # The 8 cyclic + reflected corner orderings of C3
 # (final_view_with_cad.py:195-204), as permutations of [TL,TR,BR,BL]
-SQUARE_ORDERS = jnp.array([
+SQUARE_ORDERS = np.array([
     [0, 1, 2, 3],
     [1, 2, 3, 0],
     [2, 3, 0, 1],
@@ -60,12 +62,14 @@ SQUARE_ORDERS = jnp.array([
     [0, 3, 2, 1],
     [3, 2, 1, 0],
     [2, 1, 0, 3],
-], dtype=jnp.int32)
+], dtype=np.int32)
 
 
 # ---------------------------------------------------------------------------
 # homography (unit square -> normalized image coords)
 # ---------------------------------------------------------------------------
+
+
 
 def _homography_4pt(obj_xy: jnp.ndarray, img_xy: jnp.ndarray) -> jnp.ndarray:
     """Exact homography from 4 correspondences, H33 = 1 (8x8 solve)."""
@@ -130,7 +134,12 @@ def _ippe_from_homography(Hn: jnp.ndarray):
     t_hat = jnp.concatenate([v, jnp.ones((1,), v.dtype)]) / s
     Rv = _rotation_e3_to(t_hat)
     B = Rv[:2, :2] - v[:, None] * Rv[2, :2][None, :]
-    A = jnp.linalg.solve(B, J)
+    # closed-form 2x2 solve (jnp.linalg.solve pays LU pivot gathers)
+    detB = B[0, 0] * B[1, 1] - B[0, 1] * B[1, 0]
+    detB = jnp.where(jnp.abs(detB) < _EPS, _EPS, detB)
+    Binv = jnp.stack([jnp.stack([B[1, 1], -B[0, 1]]),
+                      jnp.stack([-B[1, 0], B[0, 0]])]) / detB
+    A = Binv @ J
     U, sig, V = _svd2x2_signed(A)
     tz = 1.0 / jnp.maximum(sig[0], _EPS)
     cb = jnp.clip(sig[1] * tz, -1.0, 1.0)     # q33 = cos(beta)
@@ -182,8 +191,7 @@ def solve_pnp_ippe_square(img_corners: jnp.ndarray, K, dist, tag_size_m,
              (img_corners[..., 1] - K[1, 2]) / K[1, 1]], axis=-1)
     else:
         norm_xy = undistort_points(img_corners, K, jnp.asarray(dist, K.dtype))
-    unit_obj = obj[:, :2] / (jnp.asarray(tag_size_m, K.dtype) / 2.0)
-    Hn = _homography_4pt(unit_obj, norm_xy)
+    Hn = homography_from_unit_square(norm_xy)
     Rs, ts = _ippe_from_homography(Hn)
     ts = ts * (jnp.asarray(tag_size_m, K.dtype) / 2.0)
 
@@ -217,8 +225,7 @@ def detector_pose(img_corners: jnp.ndarray, K, tag_size_m):
     K = jnp.asarray(K, img_corners.dtype)
     obj = square_object_points(tag_size_m, img_corners.dtype)
     norm_xy = undistort_points(img_corners, K, jnp.zeros(8, K.dtype))
-    unit_obj = obj[:, :2] / (jnp.asarray(tag_size_m, K.dtype) / 2.0)
-    Hn = _homography_4pt(unit_obj, norm_xy)
+    Hn = homography_from_unit_square(norm_xy)
     Rs, ts = _ippe_from_homography(Hn)
     ts = ts * (jnp.asarray(tag_size_m, K.dtype) / 2.0)
 
@@ -486,7 +493,7 @@ def solve_pnp_best_order(img_corners: jnp.ndarray, K, dist, tag_size_m,
                                           tag_size_m, refine_iters=refine_iters)
         return R, t, err
 
-    Rs, ts, errs = jax.vmap(solve_for_order)(SQUARE_ORDERS)
+    Rs, ts, errs = jax.vmap(solve_for_order)(jnp.asarray(SQUARE_ORDERS))
     scores = errs + jnp.where(ts[:, 2] <= 0, z_penalty, 0.0)
     best = jnp.argmin(scores)
     return Rs[best], ts[best], errs[best], best
